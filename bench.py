@@ -1,0 +1,56 @@
+"""Bench harness: run the headline catalog queries end-to-end and print
+ONE JSON line with per-query wall-clock seconds.
+
+Usage: ``python bench.py`` — reads ``SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) and ``SPARK_GRAFT_CPUS`` (default all cores).
+Each query is forced through a full materialization via the noop sink
+(no driver collect — measures the distributed plan, not pandas
+conversion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    from orx_surgical_spark.queries.catalog import REGISTRY
+    from orx_surgical_spark.session import get_spark
+
+    spark = get_spark(app_name="orx-surgical-bench")
+
+    bench_queries = {n: q for n, q in sorted(REGISTRY.items()) if q.bench}
+    timings: dict[str, float] = {}
+    t_all = time.perf_counter()
+    for name, q in bench_queries.items():
+        t0 = time.perf_counter()
+        df = q.fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+    total = round(time.perf_counter() - t_all, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,231 @@
+"""Relational operators (SURVEY §2 B/C/D) as composable DataFrame
+transforms.
+
+Each function is a pure ``DataFrame -> DataFrame`` transform built from
+JVM-side expressions only (no Python UDFs), so the whole pipeline stays
+inside Catalyst/whole-stage codegen and scales by partitioning alone.
+Reference sites are cited per function.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# B. Projections / casts / scalar functions
+# ---------------------------------------------------------------------------
+
+
+def cast_nullsafe(df: DataFrame, col: str, dtype: str) -> DataFrame:
+    """Cast with null-on-error (SURVEY §2-B2).
+
+    Mirrors ``pd.to_numeric(col, errors='coerce')`` (reference
+    ``cms_preprocess.py:72``): invalid values become null (engine runs
+    with ``spark.sql.ansi.enabled=false``, so ``cast`` is try-cast).
+    """
+    return df.withColumn(col, F.col(col).cast(dtype))
+
+
+def drop_null(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Null-drop filter (SURVEY §2-B3; reference ``cms_preprocess.py:75``)."""
+    return df.na.drop(subset=list(cols))
+
+
+def parse_yyyymmdd(col: str | Column) -> Column:
+    """Parse a YYYYMMDD int/string into a DateType column (SURVEY §2-B4;
+    reference ``pd.to_datetime(format='%Y%m%d')``, ``cms_preprocess.py:79``).
+    Invalid inputs become null (matches ``errors='coerce'``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.to_date(c.cast("string"), "yyyyMMdd")
+
+
+def with_year(df: DataFrame, src: str | Column, out: str = "Year") -> DataFrame:
+    """Derive a Year column from a date/timestamp (SURVEY §2-B4)."""
+    c = F.col(src) if isinstance(src, str) else src
+    return df.withColumn(out, F.year(c))
+
+
+def filter_year_range(df: DataFrame, col: str, start: int, end: int) -> DataFrame:
+    """Range predicate (SURVEY §2-B5; reference ``cms_preprocess.py:83``)."""
+    return df.filter(F.col(col).between(start, end))
+
+
+def exclude_early_events(
+    df: DataFrame, time_col: str, time_values: Sequence, code_col: str,
+    codes: Sequence[str],
+) -> DataFrame:
+    """Negated conjunction of IN-lists (SURVEY §2-B7): drop rows where
+    ``time_col IN time_values AND code_col IN codes`` — the reference's
+    'surgery in the first two years' exclusion (``cms_preprocess.py:89``).
+    """
+    return df.filter(
+        ~(F.col(time_col).isin(list(time_values)) & F.col(code_col).isin(list(codes)))
+    )
+
+
+def age_years(later: str | Column, earlier: str | Column) -> Column:
+    """Date difference in (365-day) years (SURVEY §2-B8; reference
+    ``cms_preprocess.py:96-98``)."""
+    a = F.col(later) if isinstance(later, str) else later
+    b = F.col(earlier) if isinstance(earlier, str) else earlier
+    return F.datediff(a, b) / F.lit(365.0)
+
+
+def clean_code(col: str | Column) -> Column:
+    """ICD-9 code normalization (SURVEY §2-B10/B13): strip surrounding
+    quotes, truncate at the first dot, trim whitespace (reference
+    ``cms_preprocess.py:118-130``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.substring_index(F.regexp_replace(c, "^'|'$", ""), ".", 1))
+
+
+def blank_to_sentinel(col: str | Column, sentinel: str = "None") -> Column:
+    """Empty/whitespace-only string -> sentinel (SURVEY §2-B12; reference
+    ``replace(r'^\\s*$', 'None', regex=True)``, ``cms_preprocess.py:125``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(c.rlike(r"^\s*$"), F.lit(sentinel)).otherwise(c)
+
+
+def derive_binary_label(
+    col: str | Column, positive_values: Sequence[str], out: str = "label"
+) -> Column:
+    """Binary label from membership (SURVEY §2-B15; reference
+    ``1 if x in ['469','470'] else 0``, ``cms_preprocess.py:202``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(c.isin(list(positive_values)), F.lit(1)).otherwise(F.lit(0)).alias(out)
+
+
+# ---------------------------------------------------------------------------
+# C. Joins
+# ---------------------------------------------------------------------------
+
+
+def dim_fact_join(
+    fact: DataFrame, dim: DataFrame, on: str | Sequence[str], how: str = "inner",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Fact x dimension equi-join (SURVEY §2-C1; reference
+    ``pd.merge(ben, ip, on='DESYNPUF_ID')``, ``cms_preprocess.py:69``).
+
+    The dimension side is broadcast by default — at 100 TB the fact table
+    must never shuffle for a crosswalk-sized dim. Catalyst/AQE would
+    usually pick this, but the hint makes the plan deterministic.
+    """
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return fact.join(d, on=on, how=how)
+
+
+def lookup_join_default(
+    df: DataFrame, mapping: DataFrame, key: str, map_key: str, map_value: str,
+    out: str, default=0,
+) -> DataFrame:
+    """Left lookup join with default for misses (SURVEY §2-C3/B14).
+
+    Semantics of the reference's dict probe ``d.get(x, 0)``
+    (``cms_preprocess.py:192,195``): broadcast left join against the
+    mapping table and ``coalesce`` to the default.
+    """
+    m = F.broadcast(
+        mapping.select(F.col(map_key).alias("__k"), F.col(map_value).alias("__v"))
+    )
+    joined = df.join(m, df[key] == m["__k"], "left")
+    return joined.withColumn(out, F.coalesce(F.col("__v"), F.lit(default))).drop(
+        "__k", "__v"
+    )
+
+
+def semi_join(df: DataFrame, keys: DataFrame, on: str | Sequence[str]) -> DataFrame:
+    """LEFT SEMI join (SURVEY §2-C4): keep rows whose key appears in
+    ``keys`` — the reference's group-qualifying-patient filter
+    (``cms_preprocess.py:92-93``)."""
+    return df.join(keys, on=on, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# D. Aggregations / grouping
+# ---------------------------------------------------------------------------
+
+
+def group_max(df: DataFrame, keys: Sequence[str], cols: Sequence[str]) -> DataFrame:
+    """Group-by MAX over many columns (SURVEY §2-D1; reference
+    ``groupby([...])[cols].agg('max')``, ``cms_preprocess.py:286``).
+    Hash aggregate with map-side partials — one shuffle on the keys."""
+    return df.groupBy(*keys).agg(*[F.max(c).alias(c) for c in cols])
+
+
+def full_period_coverage_keys(
+    df: DataFrame, key: str, period_col: str, periods: Sequence
+) -> DataFrame:
+    """Keys having at least one row in EVERY period (SURVEY §2-D2;
+    reference ``set(x) >= {2008..2010}``, ``cms_preprocess.py:92-93``).
+
+    One hash aggregate: count distinct periods restricted to the window,
+    keep keys where it equals ``len(periods)``. Scales as a single
+    shuffle on ``key``; no window function, no collect.
+    """
+    lo, hi = min(periods), max(periods)
+    in_window = F.when(F.col(period_col).between(lo, hi), F.col(period_col))
+    return (
+        df.groupBy(key)
+        .agg(F.countDistinct(in_window).alias("__n"))
+        .filter(F.col("__n") == len(set(periods)))
+        .select(key)
+    )
+
+
+def full_enrollment_filter(
+    df: DataFrame, key: str, period_col: str, periods: Sequence
+) -> DataFrame:
+    """D2 + C4 composed: keep all rows of keys covering every period."""
+    return semi_join(df, full_period_coverage_keys(df, key, period_col, periods), key)
+
+
+def distinct_values(df: DataFrame, col: str) -> DataFrame:
+    """Distinct values of one column (SURVEY §2-D3; reference
+    ``df['CCS'].unique()``, ``cms_preprocess.py:159,167``)."""
+    return df.select(col).distinct()
+
+
+# ---------------------------------------------------------------------------
+# E5 / top-k, window utilities
+# ---------------------------------------------------------------------------
+
+
+def top_k(
+    df: DataFrame, order_col: str, k: int, ascending: bool = False,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Sort + limit (SURVEY §2-E5; reference ``sort_values(...).iloc[:rows]``,
+    ``cms_preprocess.py:313-314``). Executes as TakeOrderedAndProject —
+    per-partition top-k then a k-row merge on the driver; no full sort,
+    no full shuffle, safe at any scale.
+
+    ``tiebreak`` keys make the surviving row *set* deterministic (SURVEY
+    §7 risk 2 — the reference's pick of negatives is tie-order dependent).
+    """
+    order = [F.col(order_col).asc() if ascending else F.col(order_col).desc()]
+    order += [F.col(c).asc() for c in tiebreak]
+    return df.orderBy(*order).limit(k)
+
+
+def top_k_per_group(
+    df: DataFrame, group_cols: Sequence[str], order_col: str, k: int,
+    ascending: bool = False, tiebreak: Sequence[str] = (), rank_col: str = "rn",
+) -> DataFrame:
+    """Top-k rows per group via row_number window — the standard OLAP
+    pattern (beyond-reference tier). One shuffle on the group keys."""
+    order = [F.col(order_col).asc() if ascending else F.col(order_col).desc()]
+    order += [F.col(c).asc() for c in tiebreak]
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(
+        F.col(rank_col) <= k
+    )
+
+
+def shuffle_rows(df: DataFrame, seed: int = 42) -> DataFrame:
+    """Seeded random shuffle (SURVEY §2-E6; reference ``sample(frac=1)``,
+    ``cms_preprocess.py:317``)."""
+    return df.orderBy(F.rand(seed))

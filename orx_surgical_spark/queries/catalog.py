@@ -1,0 +1,73 @@
+"""The declared query catalog.
+
+Every operator the engine claims (SURVEY §2) is registered here as a
+named query: a PySpark callable ``(spark, sf_dir) -> DataFrame`` plus,
+where SQL-expressible, an equivalent ANSI-SQL string a DuckDB oracle can
+run over the same parquet tables. The driver's correctness gate runs
+both sides at sf0.01 and compares row count + schema + order-insensitive
+value hash, so:
+
+- every computed column is aliased identically on both sides;
+- double-valued aggregates are ``round``-ed on both sides (sum order
+  across engines/partitions differs in the last float bits);
+- no ORDER BY is needed except under LIMIT (top-k), where a
+  deterministic tiebreaker key makes the row *set* stable.
+
+Importing this module pulls in all query-defining modules.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class CatalogQuery:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # ANSI SQL for DuckDB; None => rows-only check
+    doc: str = ""
+    bench: bool = False  # part of the bench.py headline set
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+REGISTRY: dict[str, CatalogQuery] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None = None,
+    doc: str = "",
+    bench: bool = False,
+    tags: tuple[str, ...] = (),
+) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register a catalog query under ``name``."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate catalog query: {name}")
+        REGISTRY[name] = CatalogQuery(
+            name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""),
+            bench=bench, tags=tags,
+        )
+        return fn
+
+    return deco
+
+
+def _load_all() -> None:
+    # Import for registration side effects.
+    from orx_surgical_spark.queries import (  # noqa: F401
+        dedup_queries,
+        relational_queries,
+        similarity_queries,
+        text_queries,
+    )
+
+
+_load_all()

@@ -1,0 +1,83 @@
+"""Sources and sinks (SURVEY §2-A).
+
+The reference's IO surface is ``pd.read_csv(usecols=...)`` projection
+scans (A1, ``cms_preprocess.py:26-51``), a vestigial parquet scan (A2,
+``dataprep_report.py:18``), and ``np.save``/``np.load`` tensor
+checkpoints (A3, ``modelling CNN.ipynb`` cells 5-8). Here:
+
+- CSV scans declare an explicit schema (no inference) and project via
+  ``select`` — Catalyst pushes the projection into the scan.
+- Parquet is the checkpoint format (replaces ``np.save``): columnar,
+  compressed, self-describing, splittable — the 100 TB-scale answer to
+  the reference's bool-cast npy caches.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from orx_surgical_spark.schemas import TPCH_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan (SURVEY §2-A2). Pushdown/pruning handled by Catalyst."""
+    return spark.read.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    columns: Sequence[str] | None = None,
+    header: bool = True,
+) -> DataFrame:
+    """CSV scan with declared schema + column projection (SURVEY §2-A1).
+
+    Mirrors ``pd.read_csv(path, usecols=cols)`` (reference
+    ``cms_preprocess.py:45-49``) but with an explicit schema; the
+    ``select`` is pruned into the scan by Catalyst.
+    """
+    df = spark.read.schema(schema).option("header", str(header).lower()).csv(path)
+    if columns is not None:
+        df = df.select(*columns)
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver-generated synthetic table (TESTDATA.md).
+
+    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark reads as int64
+    nanoseconds under ``spark.sql.legacy.parquet.nanosAsLong``; convert to
+    a microsecond TimestampType here (floor division — matches DuckDB's
+    nanos->micros truncation).
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+        )
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: Sequence[str] | None = None
+) -> dict[str, DataFrame]:
+    """Load several synthetic tables at once; default = all of them."""
+    return {n: load_table(spark, sf_dir, n) for n in (names or TPCH_TABLES)}
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: Sequence[str] = ()) -> None:
+    """Checkpoint sink (SURVEY §2-A3) — replaces the reference's
+    ``np.save`` caches (``modelling CNN.ipynb:177 (cell 5)``)."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

@@ -1,0 +1,82 @@
+"""DuckDB-oracle parity harness.
+
+Mirrors the driver's t2 correctness gate locally: run a catalog query's
+Spark side and its DuckDB oracle over the same parquet tables, compare
+row count, sorted column names, and an order-insensitive multiset of
+normalized values. Used by ``tests/test_oracle_parity.py`` so every
+registered query is validated before the driver ever sees it.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import duckdb
+import pandas as pd
+
+from orx_surgical_spark.schemas import TPCH_TABLES
+
+
+def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """Connection with the driver's pre-registered views."""
+    con = duckdb.connect()
+    for t in TPCH_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm_value(v: Any) -> str:
+    """Normalize one cell for order-insensitive comparison."""
+    if v is None:
+        return "<null>"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "<null>"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        # 12 significant digits: strict enough to catch logic errors,
+        # loose enough for cross-engine float noise after our rounding.
+        return f"{v:.12g}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm_value(x) for x in v) + "]"
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
+    return str(v)
+
+
+def normalize_frame(df: pd.DataFrame) -> list[tuple[str, ...]]:
+    """Sorted multiset of rows with name-sorted columns."""
+    cols = sorted(df.columns)
+    out = [
+        tuple(_norm_value(v) for v in row)
+        for row in df[cols].itertuples(index=False, name=None)
+    ]
+    return sorted(out)
+
+
+def compare_query(spark_df, oracle_sql: str, sf_dir: str) -> None:
+    """Assert Spark result == DuckDB oracle result (order-insensitive)."""
+    con = duckdb_connection(sf_dir)
+    try:
+        oracle = con.execute(oracle_sql).fetch_df()
+    finally:
+        con.close()
+    mine = spark_df.toPandas()
+
+    assert sorted(mine.columns) == sorted(oracle.columns), (
+        f"column mismatch: spark={sorted(mine.columns)} "
+        f"oracle={sorted(oracle.columns)}"
+    )
+    assert len(mine) == len(oracle), (
+        f"row count mismatch: spark={len(mine)} oracle={len(oracle)}"
+    )
+    a, b = normalize_frame(mine), normalize_frame(oracle)
+    if a != b:
+        diffs = [(x, y) for x, y in zip(a, b) if x != y][:5]
+        raise AssertionError(
+            f"value mismatch ({sum(1 for x, y in zip(a, b) if x != y)} rows); "
+            f"first diffs:\n" + "\n".join(f"  spark={x}\n  duck ={y}" for x, y in diffs)
+        )
