@@ -1,0 +1,293 @@
+"""Deduplication operators (beyond-reference tier, SURVEY §2-H).
+
+Four tiers, cheapest first — the standard large-corpus dedup ladder:
+
+1. **Exact** — hash of normalized text, one hash aggregate. O(n).
+2. **Fingerprint** — md5 of the sorted distinct token set (word-order
+   insensitive). O(n).
+3. **MinHash + LSH banding** — k per-token min-hashes, banded into
+   b band keys; docs sharing any band key are candidate pairs. The
+   self-join is on band keys (tiny groups), never all-pairs. O(n) + a
+   band-key shuffle — this is the 100 TB path.
+4. **N-gram Jaccard verification** — exact shingle-set Jaccard on the
+   candidate pairs only (or, at test scale, on blocked all-pairs as the
+   oracle baseline).
+
+Every hash is md5-based and therefore engine-independent — the same
+signatures are computable in ANSI SQL, which keeps all four tiers
+DuckDB-oracle-checkable (unlike Spark's built-in ``hash()``/
+``MinHashLSH``, which are seeded JVM-specific). A SimHash variant and
+the MLlib ``MinHashLSH`` wrapper are provided as well.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from orx_surgical_spark.operators.text import normalized_text, shingles, tokens
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Group documents by the md5 of their normalized text: one row per
+    distinct content with the representative (min id) and the group
+    size. ``n_dups > 1`` rows are duplicate clusters."""
+    return (
+        df.select(
+            F.col(id_col), F.md5(normalized_text(text_col)).alias("content_hash")
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def drop_exact_dups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one representative per content hash (min id wins) — the
+    apply-side of exact dedup. Broadcast-free: a semi join on
+    (hash, min id) after one aggregate."""
+    keep = exact_dedup_groups(df, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(toks: Column, n_hashes: int = 8) -> list[Column]:
+    """k engine-independent min-hashes of a token set: for seed i, the
+    minimum md5 of ``'s{i}:' || token``. Each column is a 32-hex-char
+    string; the min over tokens estimates set similarity the usual
+    MinHash way.
+
+    NOTE: the per-seed lambda MUST take exactly one parameter — a
+    two-parameter lambda passed to ``F.transform`` receives
+    (element, index) and would silently clobber the seed binding.
+    """
+
+    def one_hash(i: int) -> Column:
+        prefix = F.lit(f"s{i}:")
+        return F.array_min(
+            F.transform(toks, lambda t: F.md5(F.concat(prefix, t)))
+        ).alias(f"mh{i}")
+
+    return [one_hash(i) for i in range(n_hashes)]
+
+
+def minhash_bands(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n_hashes: int = 8, band_size: int = 2, ngram: int = 3,
+) -> DataFrame:
+    """(id, band_idx, band_hash) rows: the LSH banding of the MinHash
+    signature over ``ngram``-shingle sets (``ngram=1`` => token sets).
+    Docs sharing a (band_idx, band_hash) are near-dup candidates.
+    n_hashes/band_size bands; smaller bands => higher recall, more
+    candidates.
+
+    Physical shape: explode shingles ONCE, hash each shingle k times,
+    then a single hash aggregate of k MINs per doc. Tokenization runs
+    once per document (a naive k-column ``array_min(transform(...))``
+    projection would re-evaluate the whole shingle pipeline k times
+    after Catalyst collapses projections), and the per-shingle work
+    parallelizes across partitions. Docs with no shingles (< ngram
+    tokens) have no bands.
+    """
+    toks = (
+        shingles(tokens(text_col), ngram)
+        if ngram > 1
+        else F.array_distinct(tokens(text_col))
+    )
+    if n_hashes % 4 != 0:
+        raise ValueError("n_hashes must be a multiple of 4 (md5 slicing)")
+    exploded = df.select(F.col(id_col), F.explode(toks).alias("__g"))
+    # One md5 yields four independent 32-bit (8-hex-char) min-hash
+    # components; n_hashes/4 seeded md5s cover the signature with 4x
+    # less hashing than one md5 per component.
+    slices = []
+    for m in range(n_hashes // 4):
+        h = F.md5(F.concat(F.lit(f"s{m}:"), F.col("__g")))
+        slices.extend(
+            F.substring(h, 1 + 8 * j, 8).alias(f"h{m * 4 + j}") for j in range(4)
+        )
+    hashed = exploded.select(F.col(id_col), *slices)
+    base = hashed.groupBy(id_col).agg(
+        *[F.min(f"h{i}").alias(f"mh{i}") for i in range(n_hashes)]
+    )
+    n_bands = n_hashes // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[F.col(f"mh{b * band_size + j}") for j in range(band_size)],
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    exploded = base.select(F.col(id_col), F.explode(bands).alias("band"))
+    return exploded.select(
+        id_col,
+        F.col("band.band_idx").alias("band_idx"),
+        F.col("band.band_hash").alias("band_hash"),
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n_hashes: int = 8, band_size: int = 2, ngram: int = 3,
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing at least one LSH
+    band. The join key is (band_idx, band_hash) — group sizes stay tiny
+    for non-duplicate content, so this scales as a hash join on a
+    high-cardinality key, never an all-pairs product."""
+    bands = minhash_bands(df, text_col, id_col, n_hashes, band_size, ngram)
+    a = bands.select(
+        F.col(id_col).alias("id_a"), "band_idx", "band_hash"
+    )
+    b = bands.select(
+        F.col(id_col).alias("id_b"), "band_idx", "band_hash"
+    )
+    return (
+        a.join(b, on=["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two (distinct-element) arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_distinct(F.concat(a, b)))
+    return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n: int = 3, threshold: float = 0.5, block_col: str | None = None,
+) -> DataFrame:
+    """Near-dup pairs by exact n-gram-shingle Jaccard >= threshold.
+
+    All-pairs within a block (or globally when ``block_col`` is None) —
+    this is the exact baseline; at scale use
+    :func:`lsh_candidate_pairs` first and verify only candidates.
+    """
+    sh = df.select(
+        F.col(id_col), *( [F.col(block_col)] if block_col else [] ),
+        shingles(tokens(text_col), n).alias("sh"),
+    )
+    a = sh.select(
+        F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"),
+        *([F.col(block_col).alias("__blk")] if block_col else []),
+    )
+    b = sh.select(
+        F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"),
+        *([F.col(block_col).alias("__blk")] if block_col else []),
+    )
+    joined = a.join(b, on="__blk") if block_col else a.crossJoin(b)
+    pairs = joined.filter(F.col("id_a") < F.col("id_b"))
+    out = pairs.select(
+        "id_a", "id_b", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard")
+    )
+    return out.filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_HEX = "0123456789abcdef"
+
+
+def simhash16(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """16-bit SimHash per document from distinct-token md5s.
+
+    bit b of a token = bit (b % 4) of the hex nibble at position b // 4
+    of its md5; the document bit is the sign of the sum of (2*bit - 1)
+    over tokens. Computed as explode -> 16 conditional sums -> repack:
+    one shuffle on the id, all expressions codegen'd, and the same
+    formula is expressible in ANSI SQL for the oracle.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
+    )
+    h = F.md5(F.col("tok"))
+    bit_sums = []
+    for b in range(16):
+        nib = F.conv(F.substring(h, 1 + b // 4, 1), 16, 10).cast("int")
+        bit = F.shiftright(nib, b % 4).bitwiseAND(F.lit(1))
+        bit_sums.append(F.sum(bit * 2 - 1).alias(f"s{b}"))
+    sums = tok.groupBy(id_col).agg(*bit_sums)
+    packed = None
+    for b in range(16):
+        term = F.when(F.col(f"s{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        packed = term if packed is None else packed + term
+    return sums.select(F.col(id_col), packed.cast("int").alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# MLlib MinHashLSH wrapper (Spark-native scale path; not oracle-checkable
+# because MLlib's hash seeds are JVM-internal)
+# ---------------------------------------------------------------------------
+
+
+def mllib_minhash_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_hash_tables: int = 8, jaccard_distance_threshold: float = 0.5,
+    vocab_size: int = 1 << 18, ngram: int = 3,
+) -> DataFrame:
+    """Near-dup candidate pairs via MLlib ``MinHashLSH`` over hashed
+    shingle features (HashingTF -> binary vectors). Returns
+    (id_a, id_b, jaccard_dist). Rows-only checkable."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    shingle_col = (
+        shingles(tokens(text_col), ngram)
+        if ngram > 1
+        else F.array_distinct(tokens(text_col))
+    )
+    toks = df.select(F.col(id_col), shingle_col.alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    tf = HashingTF(inputCol="toks", outputCol="features", numFeatures=vocab_size,
+                   binary=True)
+    feats = tf.transform(toks)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes",
+                     numHashTables=num_hash_tables, seed=42)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(
+        feats, feats, jaccard_distance_threshold, distCol="jaccard_dist"
+    )
+    return (
+        pairs.select(
+            F.col(f"datasetA.{id_col}").alias("id_a"),
+            F.col(f"datasetB.{id_col}").alias("id_b"),
+            F.round("jaccard_dist", 6).alias("jaccard_dist"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )

@@ -1,0 +1,111 @@
+"""Text-analysis operators (beyond-reference tier, SURVEY §2-H / §7.7).
+
+Everything is built from JVM-side array/string expressions — no Python
+UDFs — so the operators run inside whole-stage codegen and scale
+linearly with partitions. Designed for the ``documents`` table
+(``doc_id, text, lang, source, n_chars``) but generic over any string
+column.
+
+These are the operators a large-scale LLM training-data pipeline needs:
+tokenization, token statistics, language-ID heuristics, quality
+scoring, and content fingerprinting.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Tiny English stopword list used by the n-gram language heuristic.
+EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "for", "on", "with"]
+
+
+def tokens(col: str | Column) -> Column:
+    """Whitespace tokenization of lower-cased, trimmed text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+def token_count(toks: Column) -> Column:
+    return F.size(toks)
+
+
+def distinct_token_count(toks: Column) -> Column:
+    return F.size(F.array_distinct(toks))
+
+
+def avg_token_length(toks: Column) -> Column:
+    """Mean token length = total token chars / token count."""
+    return F.length(F.array_join(toks, "")) / F.size(toks)
+
+
+def stopword_ratio(toks: Column, stopwords: Sequence[str] = EN_STOPWORDS) -> Column:
+    """Fraction of tokens that are known stopwords (JVM-side lambda)."""
+    words = list(stopwords)
+    hits = F.size(F.filter(toks, lambda t: t.isin(words)))
+    return hits / F.size(toks)
+
+
+def predict_lang(
+    toks: Column, threshold: float = 0.05, positive: str = "en",
+    negative: str = "other",
+) -> Column:
+    """Stopword-ratio language-ID heuristic: classify text whose
+    stopword ratio clears ``threshold`` as ``positive``."""
+    return F.when(
+        stopword_ratio(toks) >= threshold, F.lit(positive)
+    ).otherwise(F.lit(negative))
+
+
+def punct_ratio(col: str | Column) -> Column:
+    """Fraction of characters that are not lowercase-alphanumeric or
+    whitespace (after lowering)."""
+    c = F.col(col) if isinstance(col, str) else col
+    lowered = F.lower(c)
+    stripped = F.regexp_replace(lowered, "[a-z0-9 \\t\\n]", "")
+    return F.length(stripped) / F.greatest(F.length(lowered), F.lit(1))
+
+
+def quality_score(col: str | Column) -> Column:
+    """Composite document-quality score in [0, 1]: length saturation x
+    cleanliness x stopword-plausibility. The formula is deliberately
+    simple and fully SQL-expressible (it is oracle-checked verbatim)."""
+    toks = tokens(col)
+    length_part = F.least(F.size(toks) / F.lit(100.0), F.lit(1.0))
+    clean_part = 1.0 - punct_ratio(col)
+    sw = stopword_ratio(toks)
+    plaus_part = F.when((sw >= 0.01) & (sw <= 0.6), F.lit(1.0)).otherwise(F.lit(0.5))
+    return length_part * clean_part * plaus_part
+
+
+def shingles(toks: Column, n: int = 3) -> Column:
+    """Distinct word ``n``-gram shingles of a token array.
+
+    Implemented with ``sequence`` + ``transform`` + ``slice`` (all
+    codegen'd). Guarded for short docs: fewer than ``n`` tokens yields
+    an empty shingle set (Spark's ``sequence(1, 0)`` would count DOWN).
+    """
+    count = F.size(toks) - (n - 1)
+    make = F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.array_distinct(
+        F.when(count >= 1, make).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def fingerprint(col: str | Column) -> Column:
+    """Order-insensitive content fingerprint: md5 of the sorted distinct
+    token set. Documents with identical vocabulary (any word order)
+    collide — the cheap first-pass near-dup key."""
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(col))), " "))
+
+
+def normalized_text(col: str | Column) -> Column:
+    """Whitespace/case-normalized text: lower, trim, collapse runs of
+    whitespace — the canonical form for exact dedup."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")

@@ -1,2 +1,185 @@
-"""Deduplication catalog queries (beyond-reference tier). Filled by the
-dedup operator milestone."""
+"""Deduplication catalog queries (beyond-reference tier) over the
+``documents`` table.
+
+The md5-based MinHash/SimHash constructions are engine-independent, so
+even the LSH tiers are DuckDB-oracle-checkable; only the MLlib
+``MinHashLSH`` wrapper (JVM-internal seeds) falls back to a rows-only
+check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from orx_surgical_spark.operators import dedup as D
+from orx_surgical_spark.queries.catalog import register
+from orx_surgical_spark.sources import load_table
+from orx_surgical_spark.sources.readers import ensure_min_partitions
+
+# Shared DuckDB fragments ----------------------------------------------------
+
+_TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
+_DTOKS = f"list_distinct({_TOKS})"
+# distinct 3-gram shingles of the token array (guarded for short docs)
+_SHINGLES = (
+    "list_distinct(list_transform("
+    "range(1, greatest(len(toks) - 2, 0) + 1), "
+    "i -> array_to_string(toks[i:i+2], ' ')))"
+)
+
+_N_HASHES = 8
+_BAND_SIZE = 2
+
+_SIG_COLS = ",\n         ".join(
+    f"list_min(list_transform(sh, t -> substr(md5('s{i // 4}:' || t), "
+    f"{1 + 8 * (i % 4)}, 8))) AS mh{i}"
+    for i in range(_N_HASHES)
+)
+
+_BAND_ROWS = "\n      UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_idx, "
+    f"md5(mh{b * _BAND_SIZE} || '|' || mh{b * _BAND_SIZE + 1}) AS band_hash FROM s"
+    for b in range(_N_HASHES // _BAND_SIZE)
+)
+
+_BANDS_CTE = f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), sh AS (
+      SELECT doc_id, {_SHINGLES} AS sh FROM t
+    ), s AS (
+      SELECT doc_id,
+         {_SIG_COLS}
+      FROM sh
+    ), bands AS (
+      {_BAND_ROWS}
+    )
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents
+    GROUP BY content_hash
+    """,
+    doc="Exact dedup groups: md5 of whitespace/case-normalized text, one "
+        "hash aggregate (dedup ladder tier 1).",
+    bench=True,
+    tags=("dedup",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup_groups(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "minhash_bands",
+    oracle=_BANDS_CTE + """
+    SELECT doc_id, CAST(band_idx AS INTEGER) AS band_idx, band_hash
+    FROM bands
+    WHERE band_hash IS NOT NULL
+    """,
+    doc="MinHash signatures (8 md5 min-hashes over 3-gram shingles) "
+        "banded into 4 LSH band keys per doc — engine-independent, "
+        "oracle-checked construction (dedup ladder tier 3).",
+    tags=("dedup", "minhash"),
+)
+def minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_bands(ensure_min_partitions(load_table(spark, sf_dir, "documents")))
+
+
+@register(
+    "minhash_candidates",
+    oracle=_BANDS_CTE + """
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a
+    JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+    WHERE a.doc_id < b.doc_id
+    """,
+    doc="LSH candidate pairs: docs sharing any MinHash band. The join is "
+        "on band keys (tiny buckets), never all-pairs — the 100 TB "
+        "near-dup path.",
+    bench=True,
+    tags=("dedup", "minhash"),
+)
+def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.lsh_candidate_pairs(ensure_min_partitions(load_table(spark, sf_dir, "documents")))
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), s AS (
+      SELECT doc_id, {_SHINGLES} AS sh FROM t
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             ROUND(
+               CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+                    ELSE len(list_intersect(a.sh, b.sh)) * 1.0
+                         / len(list_distinct(list_concat(a.sh, b.sh)))
+               END, 6) AS jaccard
+      FROM s a CROSS JOIN s b
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5
+    """,
+    doc="Exact 3-gram-shingle Jaccard near-dup pairs (all-pairs exact "
+        "baseline; at scale, run only on minhash_candidates).",
+    tags=("dedup", "jaccard"),
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    return D.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+
+
+def _simhash_oracle() -> str:
+    bit_sums = []
+    for b in range(16):
+        nib = f"(strpos('0123456789abcdef', substr(h, {1 + b // 4}, 1)) - 1)"
+        bit = f"(({nib} >> {b % 4}) & 1)"
+        bit_sums.append(
+            f"SUM(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END) AS s{b}"
+        )
+    packed = " + ".join(
+        f"(CASE WHEN s{b} >= 0 THEN {1 << b} ELSE 0 END)" for b in range(16)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_DTOKS}) AS tok FROM documents
+    ), h AS (
+      SELECT doc_id, md5(tok) AS h FROM tok
+    ), bits AS (
+      SELECT doc_id,
+        {",        ".join(bit_sums)}
+      FROM h GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({packed} AS INTEGER) AS simhash FROM bits
+    """
+
+
+@register(
+    "simhash_docs",
+    oracle=_simhash_oracle(),
+    doc="16-bit SimHash per document from distinct-token md5 bit votes — "
+        "explode -> 16 conditional sums -> repack; same formula on both "
+        "engines (dedup ladder, SimHash variant).",
+    tags=("dedup", "simhash"),
+)
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash16(ensure_min_partitions(load_table(spark, sf_dir, "documents")))
+
+
+@register(
+    "mllib_minhash_pairs",
+    oracle=None,  # MLlib hash seeds are JVM-internal -> rows-only check
+    doc="MLlib MinHashLSH near-dup candidate pairs over HashingTF binary "
+        "token vectors (Spark-native scale path; rows-only check).",
+    tags=("dedup", "minhash", "mllib"),
+)
+def mllib_minhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.mllib_minhash_pairs(ensure_min_partitions(load_table(spark, sf_dir, "documents")))

@@ -648,3 +648,92 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("new_session").alias("n_sessions"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# G6: ROC curve points from the distributed sweep.
+# ---------------------------------------------------------------------------
+
+@register(
+    "roc_points",
+    oracle="""
+    WITH scored AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label,
+             value / 500.0 AS score
+      FROM events
+    ), th AS (
+      SELECT i * (1.0 / 20) AS threshold FROM range(20) t(i)
+    ), agg AS (
+      SELECT threshold,
+             CAST(SUM(CASE WHEN label = 1 AND score > threshold THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN label = 0 AND score > threshold THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN label = 1 AND score <= threshold THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+             CAST(SUM(CASE WHEN label = 0 AND score <= threshold THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      FROM scored CROSS JOIN th
+      GROUP BY threshold
+    )
+    SELECT ROUND(threshold, 6) AS threshold,
+           ROUND(CASE WHEN fp + tn = 0 THEN 0.0 ELSE fp / (fp + tn) END, 6) AS fpr,
+           ROUND(CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp / (tp + fn) END, 6) AS tpr
+    FROM agg
+    """,
+    doc="ROC curve points via the threshold-sweep aggregation (G6; "
+        "reference roc_curve + trapezoid auc).",
+    tags=("G4", "G6"),
+)
+def roc_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    scored = ev.select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
+        (F.col("value") / 500.0).alias("score"),
+    )
+    return metrics.roc_points(scored, "score", "label", n_thresholds=20)
+
+
+# ---------------------------------------------------------------------------
+# G11: per-column profile report (the dataprep EDA analogue).
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+
+
+@register(
+    "profile_summary",
+    oracle="\n    UNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS column_name,
+           CAST(COUNT({c}) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           ROUND(AVG({c}), 6) AS mean,
+           ROUND(STDDEV_SAMP({c}), 6) AS stddev,
+           MIN({c}) AS min_val,
+           MAX({c}) AS max_val,
+           ROUND(QUANTILE_CONT({c}, 0.5), 6) AS median
+    FROM lineitem"""
+        for c in _PROFILE_COLS
+    ),
+    doc="Per-column profile: count / nulls / mean / stddev / min / max / "
+        "exact interpolated median (G11; reference dataprep create_report, "
+        "dataprep_report.py:16-27).",
+    tags=("G11",),
+)
+def profile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    parts = []
+    for c in _PROFILE_COLS:
+        parts.append(
+            li.agg(
+                F.lit(c).alias("column_name"),
+                F.count(c).alias("n"),
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias("n_null"),
+                F.round(F.avg(c), 6).alias("mean"),
+                F.round(F.stddev_samp(c), 6).alias("stddev"),
+                F.min(c).alias("min_val"),
+                F.max(c).alias("max_val"),
+                F.round(F.expr(f"percentile({c}, 0.5)"), 6).alias("median"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1,2 +1,132 @@
-"""Text-analysis catalog queries (beyond-reference tier). Filled by the
-text operator milestone."""
+"""Text-analysis catalog queries (beyond-reference tier) over the
+``documents`` table: token statistics, language-ID heuristic, quality
+scoring, content fingerprinting."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from orx_surgical_spark.operators import text as X
+from orx_surgical_spark.queries.catalog import register
+from orx_surgical_spark.sources import load_table
+
+_TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
+_SW_LIST = "[" + ", ".join(f"'{w}'" for w in X.EN_STOPWORDS) + "]"
+
+
+@register(
+    "token_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks, length(text) AS n_chars_raw
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct_tokens,
+           CAST(n_chars_raw AS INTEGER) AS n_chars,
+           ROUND(len(array_to_string(toks, '')) / len(toks), 6) AS avg_token_len
+    FROM t
+    """,
+    doc="Per-document token counting: total/distinct token counts, char "
+        "count, mean token length — all JVM-side array expressions.",
+    bench=True,
+    tags=("text",),
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = X.tokens("text")
+    return docs.select(
+        "doc_id",
+        X.token_count(toks).alias("n_tokens"),
+        X.distinct_token_count(toks).alias("n_distinct_tokens"),
+        F.length("text").cast("int").alias("n_chars"),
+        F.round(X.avg_token_length(toks), 6).alias("avg_token_len"),
+    )
+
+
+@register(
+    "lang_id",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, {_TOKS} AS toks FROM documents
+    ), r AS (
+      SELECT doc_id, lang,
+             len(list_filter(toks, x -> list_contains({_SW_LIST}, x))) / len(toks)
+                 AS ratio
+      FROM t
+    )
+    SELECT doc_id, lang,
+           ROUND(ratio, 6) AS stopword_ratio,
+           CASE WHEN ratio >= 0.05 THEN 'en' ELSE 'other' END AS pred_lang
+    FROM r
+    """,
+    doc="Language-ID heuristic: English-stopword ratio per document with "
+        "a threshold rule (n-gram-heuristic tier of a training-data "
+        "pipeline).",
+    tags=("text", "langid"),
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = X.tokens("text")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.round(X.stopword_ratio(toks), 6).alias("stopword_ratio"),
+        X.predict_lang(toks).alias("pred_lang"),
+    )
+
+
+@register(
+    "quality_scores",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOKS} AS toks FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             length(regexp_replace(lower(text), '[a-z0-9 \\t\\n]', '', 'g'))
+               / greatest(length(lower(text)), 1) AS punct,
+             len(list_filter(toks, x -> list_contains({_SW_LIST}, x))) / len(toks)
+               AS sw
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS INTEGER) AS n_tokens,
+           ROUND(punct, 6) AS punct_ratio,
+           ROUND(least(n_tokens / 100.0, 1.0) * (1.0 - punct)
+                 * (CASE WHEN sw >= 0.01 AND sw <= 0.6 THEN 1.0 ELSE 0.5 END), 6)
+               AS quality
+    FROM m
+    """,
+    doc="Document quality scoring: length saturation x punctuation "
+        "cleanliness x stopword plausibility, fully SQL-expressible.",
+    tags=("text", "quality"),
+)
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = X.tokens("text")
+    return docs.select(
+        "doc_id",
+        X.token_count(toks).alias("n_tokens"),
+        F.round(X.punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(X.quality_score("text"), 6).alias("quality"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct({_TOKS})), ' '))
+               AS fingerprint
+    FROM documents
+    """,
+    doc="Order-insensitive content fingerprint: md5 of the sorted "
+        "distinct token set (cheap first-pass near-dup key).",
+    tags=("text", "fingerprint"),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.fingerprint("text").alias("fingerprint"))

@@ -74,6 +74,20 @@ def load_tables(
     return {n: load_table(spark, sf_dir, n) for n in (names or TPCH_TABLES)}
 
 
+def ensure_min_partitions(df: DataFrame, n: int | None = None) -> DataFrame:
+    """Repartition up to ``n`` partitions if the scan produced fewer.
+
+    Small local parquet files arrive as 1-2 splits, serializing CPU-heavy
+    per-row work (hashing, shingling). At real scale the scan has
+    thousands of splits and this is a no-op — the guard keeps the extra
+    shuffle out of the 100 TB path.
+    """
+    target = n or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def write_parquet(df: DataFrame, path: str, partition_by: Sequence[str] = ()) -> None:
     """Checkpoint sink (SURVEY §2-A3) — replaces the reference's
     ``np.save`` caches (``modelling CNN.ipynb:177 (cell 5)``)."""
