@@ -1,0 +1,134 @@
+"""Model operators (SURVEY §2-F) — the reference's four model families
+as MLlib pipelines, plus deterministic hash-bucket cross-validation.
+
+Reference sites:
+
+- F1 Lasso scorer: ``Lasso(alpha=0.001)`` with 5-fold CV
+  (``ml_models.ipynb:56 (cell 2)``) → ``LinearRegression(regParam,
+  elasticNetParam=1.0)`` (elasticNet = 1 ⇒ pure L1).
+- F2 RandomForest scorer: ``RandomForestRegressor(n_estimators=100,
+  max_depth=100, ...)`` (``ml_models.ipynb:309 (cell 4)``) → MLlib
+  ``RandomForestRegressor``.  **Deviation (SURVEY §7 risk 4): Spark caps
+  maxDepth at 30**; with ``minInstancesPerNode=10`` the effective depth
+  stays far below the cap, asserted empirically in tests.
+- F3/F4 deep models: the reference CNN's kernel equals the full input
+  (one global linear map per filter, SURVEY §2-F3), so the honest
+  Spark-native scorer is ``LogisticRegression`` over the same sparse
+  features; external-DL inference stays behind ``predict_batch_udf``
+  (out of v1 parity scope).
+
+Every fit consumes one DataFrame holding key + features + label, so
+train/score alignment is structural (the reference's parallel-array
+splits are the bug surface Spark eliminates, SURVEY §4).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from orx_surgical_spark.operators.encoders import assemble_features, hash_fraction
+
+
+def lasso_regression(train: DataFrame, features_col: str = "features",
+                     label_col: str = "label", reg: float = 0.001):
+    """F1: L1-regularized linear scorer (reference ``Lasso(alpha=0.001)``,
+    ``ml_models.ipynb:56 (cell 2)``)."""
+    from pyspark.ml.regression import LinearRegression
+
+    return LinearRegression(
+        featuresCol=features_col, labelCol=label_col,
+        regParam=reg, elasticNetParam=1.0, maxIter=50,
+    ).fit(train)
+
+
+def random_forest_regression(train: DataFrame, features_col: str = "features",
+                             label_col: str = "label", num_trees: int = 20,
+                             max_depth: int = 10, seed: int = 42):
+    """F2: random-forest scorer (reference ``RandomForestRegressor(
+    n_estimators=100, max_depth=100, min_samples_split=10,
+    min_samples_leaf=10, max_features='sqrt')``, ``ml_models.ipynb:309
+    (cell 4)``).  maxDepth ≤ 30 in Spark — documented deviation."""
+    from pyspark.ml.regression import RandomForestRegressor
+
+    return RandomForestRegressor(
+        featuresCol=features_col, labelCol=label_col, numTrees=num_trees,
+        maxDepth=max_depth, minInstancesPerNode=10,
+        featureSubsetStrategy="sqrt", seed=seed,
+    ).fit(train)
+
+
+def logistic_scorer(train: DataFrame, features_col: str = "features",
+                    label_col: str = "label", reg: float = 0.0):
+    """F3-equivalent native tier: the reference CNN is one global linear
+    map + sigmoid (kernel == input, SURVEY §2-F3), i.e. logistic
+    regression over the same features."""
+    from pyspark.ml.classification import LogisticRegression
+
+    return LogisticRegression(
+        featuresCol=features_col, labelCol=label_col, regParam=reg, maxIter=50,
+    ).fit(train)
+
+
+def with_event_features(events: DataFrame, out: str = "features") -> DataFrame:
+    """Shared demo feature block over the ``events`` table: E2 assembly
+    of [value, hour, dayofweek, props-number] with the purchase label."""
+    feat = events.select(
+        "event_id",
+        F.col("value").alias("f_value"),
+        F.hour("ts").cast("double").alias("f_hour"),
+        F.dayofweek("ts").cast("double").alias("f_dow"),
+        F.coalesce(
+            F.regexp_extract("props", "[0-9]+", 0).cast("double"), F.lit(0.0)
+        ).alias("f_k"),
+        F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0).alias("label"),
+    )
+    return assemble_features(feat, ["f_value", "f_hour", "f_dow", "f_k"], out)
+
+
+def hash_folds(df: DataFrame, key: str, k: int = 5, out: str = "fold") -> DataFrame:
+    """Deterministic k-fold assignment by md5 bucket of the key — the
+    engine-independent analogue of ``KFold(shuffle=True, random_state=
+    42)`` (``ml_models.ipynb:56 (cell 2)``); seedless and stable under
+    repartitioning."""
+    return df.withColumn(out, F.floor(hash_fraction(key) * k).cast("int"))
+
+
+def cross_validate_folds(
+    df: DataFrame, fit, key: str, k: int = 5,
+    features_col: str = "features", label_col: str = "label",
+    score_col: str = "prediction",
+) -> list[dict]:
+    """G7: per-fold train/val metrics (MSE + rounded accuracy, G8).
+
+    ``fit`` is any ``train_df -> model`` callable above.  Folds are hash
+    buckets, so fold membership never depends on partitioning.  Returns
+    one dict per fold (tiny — driver-side list, like the reference's
+    5-float arrays).
+    """
+    folded = hash_folds(df, key, k).cache()
+    try:
+        out = []
+        for fold in range(k):
+            train = folded.filter(F.col("fold") != fold)
+            val = folded.filter(F.col("fold") == fold)
+            model = fit(train)
+            stats = {}
+            for split, d in (("train", train), ("val", val)):
+                scored = model.transform(d)
+                row = scored.agg(
+                    F.avg(
+                        F.pow(F.col(label_col) - F.col(score_col), 2)
+                    ).alias("mse"),
+                    F.avg(
+                        (F.round(score_col) == F.col(label_col)).cast("double")
+                    ).alias("acc"),
+                ).collect()[0]
+                stats[f"{split}_mse"] = row["mse"]
+                stats[f"{split}_acc"] = row["acc"]
+            out.append({"fold": fold, **stats})
+        return out
+    finally:
+        folded.unpersist()

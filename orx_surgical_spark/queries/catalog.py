@@ -64,6 +64,8 @@ def _load_all() -> None:
     # Import for registration side effects.
     from orx_surgical_spark.queries import (  # noqa: F401
         dedup_queries,
+        encoder_queries,
+        model_queries,
         relational_queries,
         similarity_queries,
         text_queries,

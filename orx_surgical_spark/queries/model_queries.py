@@ -1,0 +1,128 @@
+"""Model catalog queries (SURVEY §2-F + G7/G8/G9) over the ``events``
+table: fit → score → metrics pipelines, the reference's notebook entry
+points re-expressed as MLlib pipelines.
+
+Model outputs are not ANSI-SQL-expressible, so these are rows-only
+checks (the driver records the weaker gate; schema + row count are
+still pinned).  The relational/metrics halves of each pipeline are
+oracle-checked elsewhere (threshold_sweep, roc_points, confusion_matrix).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from orx_surgical_spark import models as M
+from orx_surgical_spark.operators.encoders import hash_split
+from orx_surgical_spark.queries.catalog import register
+from orx_surgical_spark.sources import load_table
+
+
+def _train_test(spark: SparkSession, sf_dir: str):
+    ev = load_table(spark, sf_dir, "events")
+    feat = M.with_event_features(ev)
+    split = hash_split(feat, "event_id", {"train": 0.8, "test": 0.2})
+    return (
+        split.filter(F.col("split") == "train"),
+        split.filter(F.col("split") == "test"),
+    )
+
+
+@register(
+    "lasso_scores",
+    oracle=None,  # model coefficients are solver-internal -> rows-only
+    doc="F1 Lasso scorer (LinearRegression elasticNetParam=1.0, "
+        "regParam=0.001; reference Lasso(alpha=0.001), ml_models.ipynb "
+        "cell 2): fit on the deterministic hash-split train side, score "
+        "the test side.",
+    tags=("F1", "E2", "E7"),
+)
+def lasso_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    train, test = _train_test(spark, sf_dir)
+    model = M.lasso_regression(train)
+    return model.transform(test).select(
+        "event_id", "label", F.round("prediction", 6).alias("score")
+    )
+
+
+@register(
+    "rf_scores",
+    oracle=None,
+    doc="F2 random-forest scorer (reference RandomForestRegressor, "
+        "ml_models.ipynb cell 4; Spark maxDepth<=30 deviation documented "
+        "in models.py).",
+    tags=("F2",),
+)
+def rf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    train, test = _train_test(spark, sf_dir)
+    model = M.random_forest_regression(train)
+    return model.transform(test).select(
+        "event_id", "label", F.round("prediction", 6).alias("score")
+    )
+
+
+@register(
+    "logreg_scores",
+    oracle=None,
+    doc="F3-equivalent native scorer: LogisticRegression over the same "
+        "assembled features (the reference CNN's full-input kernel is "
+        "one global linear map, SURVEY §2-F3).",
+    tags=("F3",),
+)
+def logreg_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    train, test = _train_test(spark, sf_dir)
+    model = M.logistic_scorer(train)
+    from pyspark.ml.functions import vector_to_array
+
+    return model.transform(test).select(
+        "event_id",
+        "label",
+        F.round(vector_to_array("probability")[1], 6).alias("score"),
+        F.col("prediction").cast("int").alias("pred_label"),
+    )
+
+
+@register(
+    "cv_fold_stats",
+    oracle=None,
+    doc="G7/G8: 5-fold CV of the Lasso scorer over deterministic md5 "
+        "hash folds — per-fold train/val MSE and rounded accuracy "
+        "(reference KFold loop, ml_models.ipynb cell 2).",
+    tags=("G7", "G8", "F1"),
+)
+def cv_fold_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    feat = M.with_event_features(ev)
+    stats = M.cross_validate_folds(feat, M.lasso_regression, "event_id", k=5)
+    rows = [
+        (
+            s["fold"],
+            round(s["train_mse"], 6), round(s["val_mse"], 6),
+            round(s["train_acc"], 6), round(s["val_acc"], 6),
+        )
+        for s in stats
+    ]
+    return spark.createDataFrame(
+        rows, "fold int, train_mse double, val_mse double, "
+              "train_acc double, val_acc double",
+    )
+
+
+@register(
+    "positive_probe",
+    oracle=None,
+    doc="G9 positive-sample probe: score only the label==1 rows "
+        "(reference x_test[np.where(y_test==1)] predict-and-print, "
+        "cnn_model.ipynb cell 5).",
+    tags=("G9", "F3"),
+)
+def positive_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    train, test = _train_test(spark, sf_dir)
+    model = M.logistic_scorer(train)
+    positives = test.filter(F.col("label") == 1.0)
+    from pyspark.ml.functions import vector_to_array
+
+    return model.transform(positives).select(
+        "event_id", F.round(vector_to_array("probability")[1], 6).alias("score")
+    )

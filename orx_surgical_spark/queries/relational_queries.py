@@ -691,6 +691,47 @@ def roc_points(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# G5: PR curve points from the same distributed sweep.
+# ---------------------------------------------------------------------------
+
+@register(
+    "pr_points",
+    oracle="""
+    WITH scored AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label,
+             value / 500.0 AS score
+      FROM events
+    ), th AS (
+      SELECT i * (1.0 / 20) AS threshold FROM range(20) t(i)
+    ), agg AS (
+      SELECT threshold,
+             SUM(CASE WHEN label = 1 AND score > threshold THEN 1 ELSE 0 END) AS tp,
+             SUM(CASE WHEN label = 0 AND score > threshold THEN 1 ELSE 0 END) AS fp,
+             SUM(CASE WHEN label = 1 AND score <= threshold THEN 1 ELSE 0 END) AS fn
+      FROM scored CROSS JOIN th
+      GROUP BY threshold
+    )
+    SELECT ROUND(threshold, 6) AS threshold,
+           ROUND(CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp / (tp + fn) END, 6) AS recall,
+           ROUND(CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp / (tp + fp) END, 6) AS precision
+    FROM agg
+    """,
+    doc="PR curve points via the threshold-sweep aggregation (G5; "
+        "reference precision_recall_curve + np.interp(0.9, ...) — the "
+        "interpolation runs driver-side over this tiny result, "
+        "functions.metrics.precision_at_recall).",
+    tags=("G5",),
+)
+def pr_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    scored = ev.select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
+        (F.col("value") / 500.0).alias("score"),
+    )
+    return metrics.pr_points(scored, "score", "label", n_thresholds=20)
+
+
+# ---------------------------------------------------------------------------
 # G11: per-column profile report (the dataprep EDA analogue).
 # ---------------------------------------------------------------------------
 

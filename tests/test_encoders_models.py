@@ -1,0 +1,98 @@
+"""Semantic unit tests for the encoder (SURVEY §2-E) and model (§2-F)
+operators — invariants the DuckDB oracle can't express (vector payloads,
+split determinism, model-metric sanity bands)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from orx_surgical_spark import models as M
+from orx_surgical_spark.operators import encoders as E
+from orx_surgical_spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events").cache()
+
+
+def test_hash_split_deterministic_and_partition_invariant(events):
+    a = E.hash_split(events, "event_id", {"train": 0.8, "test": 0.2})
+    b = E.hash_split(events.repartition(7), "event_id", {"train": 0.8, "test": 0.2})
+    rows_a = {r["event_id"]: r["split"] for r in a.select("event_id", "split").collect()}
+    rows_b = {r["event_id"]: r["split"] for r in b.select("event_id", "split").collect()}
+    assert rows_a == rows_b  # same assignment regardless of partitioning
+    n = len(rows_a)
+    n_train = sum(1 for s in rows_a.values() if s == "train")
+    assert abs(n_train / n - 0.8) < 0.05
+
+
+def test_stratified_split_exact_proportions(events):
+    labeled = events.select(
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
+    )
+    split = E.stratified_split_exact(labeled, "label", "event_id", 0.8)
+    counts = {
+        (r["label"], r["split"]): r["n"]
+        for r in split.groupBy("label", "split").agg(F.count("*").alias("n")).collect()
+    }
+    import math
+
+    for label in (0, 1):
+        n = counts.get((label, "train"), 0) + counts.get((label, "test"), 0)
+        assert counts[(label, "train")] == math.ceil(n * 0.8)  # exact per label
+
+
+def test_mhe_sparse_vector_shape_and_content(events):
+    idx_df, n_cats = E.mhe_sparse_indices(events, ["user_id"], "ts", "event_type")
+    vecs = E.mhe_sparse_vectors(events, ["user_id"], "ts", "event_type")
+    row = vecs.orderBy("user_id").first()
+    assert row["features"].size == 366 * n_cats
+    # nonzero count for that user == its distinct (doy, cat) cells
+    expected = idx_df.filter(F.col("user_id") == row["user_id"]).count()
+    assert row["features"].numNonzeros() == expected
+    assert set(row["features"].values.tolist()) == {1.0}
+
+
+def test_collect_code_array_drops_nulls(spark):
+    df = spark.createDataFrame(
+        [("a", None, "b"), (None, None, None)], "c1 string, c2 string, c3 string"
+    )
+    out = E.collect_code_array(df, ["c1", "c2", "c3"]).select("codes").collect()
+    assert sorted(map(tuple, (r["codes"] for r in out))) == [(), ("a", "b")]
+
+
+def test_hash_folds_cover_all_and_deterministic(events):
+    folded = M.hash_folds(events, "event_id", k=5)
+    folds = {r["fold"] for r in folded.select("fold").distinct().collect()}
+    assert folds == {0, 1, 2, 3, 4}
+    again = M.hash_folds(events, "event_id", k=5)
+    assert folded.select("event_id", "fold").exceptAll(
+        again.select("event_id", "fold")
+    ).count() == 0
+
+
+def test_logistic_scorer_beats_chance(events):
+    feat = M.with_event_features(events)
+    split = E.hash_split(feat, "event_id", {"train": 0.8, "test": 0.2})
+    train = split.filter(F.col("split") == "train")
+    test = split.filter(F.col("split") == "test")
+    model = M.logistic_scorer(train)
+    scored = model.transform(test)
+    acc = scored.agg(
+        F.avg((F.col("prediction") == F.col("label")).cast("double"))
+    ).collect()[0][0]
+    base = test.agg(
+        F.greatest(F.avg("label"), 1 - F.avg("label"))
+    ).collect()[0][0]
+    assert acc >= base - 0.02  # at least majority-class level
+
+
+def test_rf_effective_depth_below_spark_cap(events):
+    """SURVEY §7 risk 4: with minInstancesPerNode=10 the forest never
+    nears Spark's maxDepth=30 cap, so the reference's max_depth=100 is
+    a no-op deviation."""
+    feat = M.with_event_features(events)
+    model = M.random_forest_regression(feat, max_depth=30)
+    depths = [t.depth for t in model.trees]
+    assert max(depths) < 30
