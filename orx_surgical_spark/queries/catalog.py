@@ -68,6 +68,7 @@ def _load_all() -> None:
         model_queries,
         relational_queries,
         similarity_queries,
+        streaming_queries,
         text_queries,
     )
 

@@ -1,0 +1,100 @@
+"""Streaming catalog queries (beyond-reference tier, SURVEY §2-H).
+
+Each runs a real Structured Streaming query over the events parquet in
+``availableNow`` mode (full backlog as a bounded stream, then stop), so
+the result is deterministic and — because stream semantics must equal
+batch semantics on the same data — DuckDB-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from orx_surgical_spark import streaming as S
+from orx_surgical_spark.queries.catalog import register
+
+
+@register(
+    "stream_windowed_counts",
+    oracle="""
+    SELECT CAST(time_bucket(INTERVAL '5 minutes', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    GROUP BY window_start, event_type
+    """,
+    doc="Watermarked 5-minute tumbling-window aggregation run as a "
+        "bounded stream (availableNow) — stream result must equal the "
+        "batch time-bucket aggregation.",
+    tags=("streaming", "window"),
+)
+def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = S.read_events_stream(spark, sf_dir)
+    return S.run_available_now(S.windowed_counts(stream, "5 minutes"))
+
+
+@register(
+    "stream_session_counts",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), g AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (
+               PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+             ) AS sid
+    FROM o
+    ), sess AS (
+      SELECT user_id, sid, COUNT(*) AS n FROM g GROUP BY user_id, sid
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(MAX(n) AS BIGINT) AS max_session_events
+    FROM sess GROUP BY user_id
+    """,
+    doc="Gap-based session windows per user (session_window, 30-minute "
+        "gap) as a bounded stream, rolled up to per-user session stats; "
+        "oracle is the lag/cumulative-sum sessionization — session "
+        "identity must match exactly for the counts to agree. (Session "
+        "boundary timestamps are excluded: streaming-mode session_window "
+        "shifts them +1us vs batch, a state-store implementation detail.)",
+    tags=("streaming", "session"),
+)
+def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    stream = S.read_events_stream(spark, sf_dir)
+    sessions = S.session_counts(stream, "30 minutes")
+    per_session = S.run_available_now(sessions)
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.max("n_events").alias("max_session_events"),
+    )
+
+
+@register(
+    "stream_stateful_totals",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events GROUP BY user_id
+    """,
+    doc="Custom stateful streaming operator (applyInPandasWithState): "
+        "running per-user totals in the state store; after the "
+        "availableNow backlog the state equals the batch aggregate.",
+    tags=("streaming", "stateful"),
+)
+def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = S.read_events_stream(spark, sf_dir)
+    return S.run_available_now(
+        S.stateful_user_totals(stream), output_mode="update"
+    )

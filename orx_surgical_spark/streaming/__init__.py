@@ -1,0 +1,25 @@
+"""Structured Streaming surface (beyond-reference tier).
+
+The reference has no streaming operators (SURVEY §2-H); this tier adds
+the stream shapes a large-scale ingestion pipeline needs — file-source
+streams, watermarked tumbling/sliding windows, gap-based session
+windows, and custom stateful aggregation via ``applyInPandasWithState``
+— each runnable in ``availableNow`` batch-catchup mode so results are
+deterministic and oracle-checkable against the batch engine.
+"""
+
+from orx_surgical_spark.streaming.ops import (
+    read_events_stream,
+    run_available_now,
+    session_counts,
+    stateful_user_totals,
+    windowed_counts,
+)
+
+__all__ = [
+    "read_events_stream",
+    "run_available_now",
+    "session_counts",
+    "stateful_user_totals",
+    "windowed_counts",
+]

@@ -1,0 +1,150 @@
+"""Streaming operators over the ``events`` table.
+
+Design notes for scale:
+
+- File-source streams shard by file; at 100 TB the source is a
+  directory tree (or Kafka) and ``maxFilesPerTrigger`` bounds per-batch
+  work.  Everything downstream is standard watermark + window state in
+  the state store — no driver-side accumulation.
+- ``availableNow`` runs process the full backlog as a bounded stream
+  and stop: the mechanism for stream/batch parity tests and for the
+  catalog's oracle-checked streaming queries.
+- Aggregations run in ``complete`` output mode to the memory sink in
+  tests/catalog (small results); production sinks would use ``append``
+  with the watermark closing windows.
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+_SINK_IDS = itertools.count()
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over the events parquet.
+
+    ``readStream`` needs a declared schema — taken from a batch probe of
+    the same path (schema-on-read, one footer).  The TIMESTAMP(NANOS)
+    column arrives as int64 under ``nanosAsLong`` and is converted to a
+    microsecond timestamp exactly like the batch reader
+    (:func:`orx_surgical_spark.sources.load_table`), so stream and batch
+    plans see identical types.
+    """
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    # The file stream source wants a directory; select the one file (or,
+    # in production, the growing file set) with a glob filter.
+    reader = spark.readStream.schema(schema).option("pathGlobFilter", "events.parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(sf_dir)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+        )
+    return df
+
+
+def windowed_counts(
+    stream: DataFrame,
+    window: str = "5 minutes",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked tumbling (or sliding, when ``slide`` differs) window
+    aggregation: events per (window, event_type) with a value sum.
+    State is bounded by the watermark; late rows beyond it are dropped.
+    """
+    w = (
+        F.window("ts", window, slide)
+        if slide and slide != window
+        else F.window("ts", window)
+    )
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def session_counts(
+    stream: DataFrame, gap: str = "30 minutes", watermark: str = "60 minutes"
+) -> DataFrame:
+    """Gap-based session windows per user (``session_window`` — merges
+    events closer than ``gap`` into one session).  Returns one row per
+    (user, session) with event count and span."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def stateful_user_totals(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: running
+    per-user event count + value total kept in the state store (the
+    engine's escape hatch for operators watermark windows can't express
+    — SURVEY §2-H beyond-reference tier).
+    """
+
+    def update(
+        key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
+    ):
+        n, total = state.get() if state.exists else (0, 0.0)
+        for pdf in batches:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 4)]}
+        )
+
+    return stream.select("user_id", "value").groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, total_value double",
+        stateStructType="n bigint, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(
+    df: DataFrame, output_mode: str = "complete", name: str | None = None
+) -> DataFrame:
+    """Run a streaming DataFrame to completion over the current backlog
+    (``trigger(availableNow=True)``) into a memory sink and return the
+    materialized result as a batch DataFrame."""
+    sink = name or f"orx_stream_sink_{next(_SINK_IDS)}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(sink)
