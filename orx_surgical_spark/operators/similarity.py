@@ -101,6 +101,116 @@ def knn_label_vote(
     )
 
 
+def embedding_neardup_pairs(
+    corpus: DataFrame, threshold: float = 0.35,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    block_bits: int = 0,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, cosine >=
+    threshold) — the embedding tier of the dedup ladder.
+
+    ``block_bits = 0`` is the exact all-pairs baseline (corpus joined
+    to itself — quadratic, small-corpus only).  ``block_bits = b > 0``
+    buckets vectors by the sign pattern of their first ``b`` dimensions
+    (deterministic axis-aligned random-hyperplane LSH) and compares
+    within buckets only: the join is on the block key, so at 100 TB it
+    shuffles each side once and never materializes cross-bucket pairs.
+    Sign blocking is the documented approximation: a near-dup pair is
+    found iff no blocked dimension straddles zero between the two
+    vectors (high-probability for true near-dups, whose dims agree).
+    """
+    def prep(side: str) -> DataFrame:
+        d = corpus.select(
+            F.col(id_col).alias(f"id_{side}"),
+            F.col(vec_col).cast("array<double>").alias(f"__v_{side}"),
+        )
+        if block_bits > 0:
+            key = F.concat(
+                *[
+                    (F.element_at(f"__v_{side}", i + 1) >= 0).cast("int").cast("string")
+                    for i in range(block_bits)
+                ]
+            )
+            d = d.withColumn("__block", key)
+        return d
+
+    a, b = prep("a"), prep("b")
+    on = [F.col("id_a") < F.col("id_b")]
+    if block_bits > 0:
+        joined = a.join(b, on=(a["__block"] == b["__block"]) & on[0])
+    else:
+        joined = a.crossJoin(b).filter(on[0])
+    return (
+        joined.select(
+            "id_a", "id_b",
+            F.round(cosine(F.col("__v_a"), F.col("__v_b")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def ann_ivf_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 5, n_centroids: int = 8,
+    n_probe: int = 2, id_col: str = "vec_id", vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style ANN: coarse KMeans centroids partition the corpus into
+    inverted lists; each query probes its ``n_probe`` nearest centroids
+    and brute-forces only those lists.
+
+    The scale shape: corpus assignment is one model.transform (map-side),
+    the probe join hits ``n_probe / n_centroids`` of the corpus, and the
+    only shuffle is the top-k window on (query, candidate) pairs.
+    Centroids are MLlib-seeded (rows-only checkable).
+    Output: (query_id, neighbor_id, sim, rn).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+    ).withColumn("features", array_to_vector("__cv"))
+    km = KMeans(k=n_centroids, seed=seed, featuresCol="features",
+                predictionCol="centroid_id")
+    model = km.fit(c)
+    assigned = model.transform(c).select("neighbor_id", "__cv", "centroid_id")
+
+    # Tiny (n_centroids x dim) table; broadcast to score query->centroid.
+    centroids = c.sparkSession.createDataFrame(
+        [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
+        "centroid_id int, __ctr array<double>",
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    )
+    from pyspark.sql import Window
+
+    qc = q.crossJoin(F.broadcast(centroids)).select(
+        "query_id", "__qv", "centroid_id",
+        cosine(F.col("__qv"), F.col("__ctr")).alias("__csim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("__csim").desc(), F.col("centroid_id")
+    )
+    probes = qc.withColumn("__pr", F.row_number().over(wq)).filter(
+        F.col("__pr") <= n_probe
+    ).select("query_id", "__qv", "centroid_id")
+
+    cands = probes.join(assigned, on="centroid_id").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = cands.select(
+        "query_id", "neighbor_id",
+        F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
 def ann_lsh_topk(
     corpus: DataFrame, queries: DataFrame, k: int = 5,
     id_col: str = "vec_id", vec_col: str = "embedding",

@@ -66,6 +66,7 @@ def _load_all() -> None:
         dedup_queries,
         encoder_queries,
         model_queries,
+        multimodal_queries,
         relational_queries,
         similarity_queries,
         streaming_queries,

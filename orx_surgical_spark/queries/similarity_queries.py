@@ -90,3 +90,69 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return S.ann_lsh_topk(emb, queries, k=5)
+
+
+_NEARDUP_BASE = """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    )
+"""
+
+
+@register(
+    "embedding_neardup_exact",
+    oracle=_NEARDUP_BASE + """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+    """,
+    doc="Embedding-cosine near-duplicate pairs, exact all-pairs baseline "
+        "(dedup ladder, embedding tier). Quadratic — small corpora / "
+        "verification only; the scale path is the blocked variant.",
+    tags=("similarity", "dedup", "embedding"),
+)
+def embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.embedding_neardup_pairs(emb, threshold=0.35, block_bits=0)
+
+
+@register(
+    "embedding_neardup_blocked",
+    oracle=_NEARDUP_BASE + """
+    , blocked AS (
+      SELECT vec_id, v,
+             CAST(v[1] >= 0 AS INTEGER) || CAST(v[2] >= 0 AS INTEGER)
+               || CAST(v[3] >= 0 AS INTEGER) || CAST(v[4] >= 0 AS INTEGER) AS block
+      FROM e
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+    FROM blocked a JOIN blocked b
+      ON a.block = b.block AND a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+    """,
+    doc="Embedding near-dup with sign-prefix blocking (4 axis-aligned "
+        "hyperplane bits): the join keys on the block, so each side "
+        "shuffles once and cross-bucket pairs are never materialized — "
+        "the 100 TB shape. Deterministic, so oracle-checked.",
+    tags=("similarity", "dedup", "embedding"),
+)
+def embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.embedding_neardup_pairs(emb, threshold=0.35, block_bits=4)
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=None,  # KMeans centroids are MLlib-seeded -> rows-only check
+    doc="IVF-style ANN top-k: coarse KMeans inverted lists, n_probe=2 "
+        "of 8 centroids per query, brute-force only within probed lists "
+        "(the classic IVF trade: touch ~n_probe/n_centroids of the "
+        "corpus per query).",
+    tags=("similarity", "ann", "ivf"),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.ann_ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=2)
