@@ -1,0 +1,89 @@
+"""Plan tests (SURVEY §5 item 5): assert the Catalyst behaviors the
+engine relies on at 100 TB actually fire — predicate pushdown into the
+parquet scan, column pruning, broadcast joins for dims, whole-stage
+codegen, and shuffle-free shapes for pure projections."""
+
+from pyspark.sql import functions as F
+
+from orx_surgical_spark.operators import encoders as E
+from orx_surgical_spark.operators import relational as R
+from orx_surgical_spark.queries.catalog import REGISTRY
+from orx_surgical_spark.sources import load_table
+
+
+def plan_str(df, mode: str = "formatted") -> str:
+    qe = df._jdf.queryExecution()
+    jvm = df.sparkSession._jvm
+    return qe.explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def test_pricing_summary_pushdown_pruning_codegen(spark, sf_dir):
+    df = REGISTRY["pricing_summary"].fn(spark, sf_dir)
+    plan = plan_str(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # 7 of 11 lineitem columns used; the scan schema must not widen.
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_partkey" not in read_schema and "l_suppkey" not in read_schema
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+    # Codegen spans only materialize in the AQE final plan — execute first.
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "*(" in executed  # WholeStageCodegen span markers
+
+
+def test_dim_fact_join_broadcasts(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = R.dim_fact_join(
+        orders, cust, on=orders["o_custkey"] == cust["c_custkey"]
+    )
+    plan = plan_str(joined)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_semi_join_stays_semi(spark, sf_dir):
+    plan = plan_str(REGISTRY["semi_join_full_years"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
+def test_projection_pruned_for_text_query(spark, sf_dir):
+    df = REGISTRY["token_stats"].fn(spark, sf_dir)
+    plan = plan_str(df)
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "doc_id" in read_schema and "text" in read_schema
+    assert "source" not in read_schema and "lang" not in read_schema
+
+
+def test_hash_split_is_shuffle_free(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    split = E.hash_split(orders, "o_orderkey", {"train": 0.8, "test": 0.2})
+    plan = plan_str(split)
+    assert "Exchange" not in plan  # pure projection: no shuffle at any scale
+
+
+def test_lookup_join_broadcasts(spark, sf_dir):
+    plan = plan_str(REGISTRY["lookup_join_default"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_metadata_only_media_query_prunes_payload(spark, sf_dir):
+    """Multimodal design contract: metadata-plane queries must not read
+    payload bytes — the scan schema excludes the binary column."""
+    from orx_surgical_spark.operators import multimodal as MM
+
+    media = MM.attach_fake_media(load_table(spark, sf_dir, "documents"))
+    meta_only = media.groupBy("media_type").agg(
+        F.max("metadata.width").alias("mw")
+    )
+    read_schema = next(
+        l for l in plan_str(meta_only).splitlines() if "ReadSchema" in l
+    )
+    assert "text" not in read_schema  # payload source column pruned
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    plan = plan_str(REGISTRY["top_k_orders"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan  # no full sort for sort+limit
