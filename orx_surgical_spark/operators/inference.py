@@ -1,0 +1,71 @@
+"""Batched model inference (SURVEY §2-E9/F5).
+
+The reference bounds inference memory by manually splitting arrays into
+30 chunks and looping ``model.predict`` (``cnn_model.ipynb:237 (cell
+4)``, ``rnn_model.ipynb:299 (cell 5)``).  That is exactly Spark's
+execution model: ``predict_batch_udf`` runs the model per Arrow batch
+inside each partition — chunk count becomes ``batch_size``, the loop
+becomes the task scheduler, and the model loads once per executor (the
+``make_predict_fn`` closure), not once per row.
+
+The external-DL parity path (Keras CNN/GRU, SURVEY §2-F3/F4) plugs in
+here: ``make_predict_fn`` would load the saved model and return
+``model.predict``; the deterministic linear stub below stands in for it
+in this container (no TF) while exercising the identical plumbing.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+
+def linear_sigmoid_model(
+    weights: Sequence[float], bias: float = 0.0
+) -> Callable[[], Callable]:
+    """A ``make_predict_fn`` factory: deterministic stand-in for an
+    external model — scores = sigmoid(X @ w + b).  (The reference CNN
+    is exactly one global linear map + sigmoid per filter, SURVEY
+    §2-F3, so this stub is also its honest functional skeleton.)"""
+    w = np.asarray(weights, dtype=np.float64)
+    b = float(bias)
+
+    def make_predict_fn():
+        # Runs once per python worker (the model "load"), like loading
+        # a Keras checkpoint would.
+        def predict(x: np.ndarray) -> np.ndarray:
+            x = np.asarray(x, dtype=np.float64)
+            return 1.0 / (1.0 + np.exp(-(x @ w + b)))
+
+        return predict
+
+    return make_predict_fn
+
+
+def batch_score(
+    df: DataFrame,
+    make_predict_fn: Callable[[], Callable],
+    feature_cols: Sequence[str],
+    out: str = "score",
+    batch_size: int = 1024,
+) -> DataFrame:
+    """E9: score every row with an Arrow-batched model UDF.
+
+    One projection — no shuffle, no driver collect, no manual chunking;
+    ``batch_size`` bounds per-batch memory the way the reference's 30
+    chunks did, but per executor and in parallel.  Feature columns are
+    combined into one (batch, n_features) tensor — the model sees the
+    same matrix the reference fed ``model.predict``."""
+    from pyspark.ml.functions import predict_batch_udf
+    from pyspark.sql import functions as F
+
+    udf = predict_batch_udf(
+        make_predict_fn,
+        return_type=T.DoubleType(),
+        batch_size=batch_size,
+        input_tensor_shapes=[[len(feature_cols)]],
+    )
+    return df.withColumn(out, udf(F.array(*[F.col(c) for c in feature_cols])))

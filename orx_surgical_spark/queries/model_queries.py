@@ -126,3 +126,35 @@ def positive_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return model.transform(positives).select(
         "event_id", F.round(vector_to_array("probability")[1], 6).alias("score")
     )
+
+
+@register(
+    "batch_inference_scores",
+    oracle="""
+    SELECT event_id,
+           ROUND(1.0 / (1.0 + exp(-(0.004 * value - 0.05 * hour(ts) + 0.1))), 6)
+               AS score
+    FROM events
+    """,
+    doc="E9 batched model inference via predict_batch_udf: Arrow-batched "
+        "scoring with a deterministic linear-sigmoid stand-in for an "
+        "external model (the reference's 30-chunk manual predict loop, "
+        "cnn_model.ipynb cell 4, becomes batch_size + the task "
+        "scheduler) — deterministic, so oracle-checked.",
+    tags=("E9", "F5"),
+)
+def batch_inference_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orx_surgical_spark.operators.inference import (
+        batch_score,
+        linear_sigmoid_model,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("value").cast("double").alias("f_value"),
+        F.hour("ts").cast("double").alias("f_hour"),
+    )
+    scored = batch_score(
+        ev, linear_sigmoid_model([0.004, -0.05], bias=0.1), ["f_value", "f_hour"]
+    )
+    return scored.select("event_id", F.round("score", 6).alias("score"))

@@ -7,16 +7,9 @@ from pyspark.sql import functions as F
 
 from orx_surgical_spark.operators import encoders as E
 from orx_surgical_spark.operators import relational as R
+from orx_surgical_spark.plans import executed_plan_str, plan_str
 from orx_surgical_spark.queries.catalog import REGISTRY
 from orx_surgical_spark.sources import load_table
-
-
-def plan_str(df, mode: str = "formatted") -> str:
-    qe = df._jdf.queryExecution()
-    jvm = df.sparkSession._jvm
-    return qe.explainString(
-        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
-    )
 
 
 def test_pricing_summary_pushdown_pruning_codegen(spark, sf_dir):
@@ -29,8 +22,7 @@ def test_pricing_summary_pushdown_pruning_codegen(spark, sf_dir):
     assert "partial_sum" in plan  # map-side combine before the shuffle
     # Codegen spans only materialize in the AQE final plan — execute first.
     df.collect()
-    executed = df._jdf.queryExecution().executedPlan().toString()
-    assert "*(" in executed  # WholeStageCodegen span markers
+    assert "*(" in executed_plan_str(df)  # WholeStageCodegen span markers
 
 
 def test_dim_fact_join_broadcasts(spark, sf_dir):

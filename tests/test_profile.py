@@ -1,0 +1,33 @@
+"""G11 profile report: distributed per-column stats + histogram +
+HTML rendering (the dataprep create_report analogue)."""
+
+from orx_surgical_spark.functions import profile
+from orx_surgical_spark.sources import load_table
+
+
+def test_profile_columns_stats(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    prof = profile.profile_columns(li, ["l_quantity", "l_discount"])
+    rows = {r["column_name"]: r for r in prof.collect()}
+    assert set(rows) == {"l_quantity", "l_discount"}
+    q = rows["l_quantity"]
+    assert q["n"] > 0 and q["n_null"] == 0
+    assert q["min_val"] <= q["median"] <= q["max_val"]
+    assert q["approx_distinct"] > 0
+
+
+def test_histogram_covers_all_rows(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    hist = profile.histogram(li, "l_extendedprice", n_bins=10)
+    rows = hist.collect()
+    assert len(rows) <= 10
+    assert sum(r["n"] for r in rows) == li.filter("l_extendedprice is not null").count()
+    assert all(r["lo"] < r["hi"] for r in rows)
+
+
+def test_save_report_html(spark, sf_dir, tmp_path):
+    li = load_table(spark, sf_dir, "lineitem")
+    out = profile.save_report(li, ["l_quantity"], str(tmp_path / "report.html"))
+    html = open(out).read()
+    assert html.startswith("<!doctype html>")
+    assert "l_quantity" in html and "median" in html
