@@ -126,10 +126,12 @@ def embedding_neardup_pairs(
     vectors (high-probability for true near-dups, whose dims agree).
     """
     def prep(side: str) -> DataFrame:
+        # Precompute the scalar norm once per row, so the per-pair work
+        # is one dot product + a divide — not dot + two 64-element norms.
         d = corpus.select(
             F.col(id_col).alias(f"id_{side}"),
             F.col(vec_col).cast("array<double>").alias(f"__v_{side}"),
-        )
+        ).withColumn(f"__n_{side}", l2_norm(F.col(f"__v_{side}")))
         if block_bits > 0:
             key = F.concat(
                 *[
@@ -141,15 +143,19 @@ def embedding_neardup_pairs(
         return d
 
     a, b = prep("a"), prep("b")
-    on = [F.col("id_a") < F.col("id_b")]
+    lt = F.col("id_a") < F.col("id_b")
     if block_bits > 0:
-        joined = a.join(b, on=(a["__block"] == b["__block"]) & on[0])
+        joined = a.join(b, on=(a["__block"] == b["__block"]) & lt)
     else:
-        joined = a.crossJoin(b).filter(on[0])
+        joined = a.crossJoin(b).filter(lt)
     return (
         joined.select(
             "id_a", "id_b",
-            F.round(cosine(F.col("__v_a"), F.col("__v_b")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("__v_a"), F.col("__v_b"))
+                / (F.col("__n_a") * F.col("__n_b")),
+                6,
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

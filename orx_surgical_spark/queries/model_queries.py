@@ -141,6 +141,7 @@ def positive_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "external model (the reference's 30-chunk manual predict loop, "
         "cnn_model.ipynb cell 4, becomes batch_size + the task "
         "scheduler) — deterministic, so oracle-checked.",
+    bench=True,
     tags=("E9", "F5"),
 )
 def batch_inference_scores(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from orx_surgical_spark.operators import similarity as S
 from orx_surgical_spark.queries.catalog import register
 from orx_surgical_spark.sources import load_table
+from orx_surgical_spark.sources.readers import ensure_min_partitions
 
 _TOPK_CTE = """
     WITH q AS (
@@ -113,7 +114,7 @@ _NEARDUP_BASE = """
     tags=("similarity", "dedup", "embedding"),
 )
 def embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
     return S.embedding_neardup_pairs(emb, threshold=0.35, block_bits=0)
 
 
@@ -136,10 +137,11 @@ def embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hyperplane bits): the join keys on the block, so each side "
         "shuffles once and cross-bucket pairs are never materialized — "
         "the 100 TB shape. Deterministic, so oracle-checked.",
+    bench=True,
     tags=("similarity", "dedup", "embedding"),
 )
 def embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
     return S.embedding_neardup_pairs(emb, threshold=0.35, block_bits=4)
 
 

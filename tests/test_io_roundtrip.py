@@ -1,0 +1,51 @@
+"""IO sinks/sources (SURVEY §2-A3/A4): parquet checkpoint round-trip
+with partition pruning, and model persistence."""
+
+from pyspark.sql import functions as F
+
+from orx_surgical_spark import models as M
+from orx_surgical_spark.plans import plan_str
+from orx_surgical_spark.sources import load_table
+from orx_surgical_spark.sources.readers import write_parquet
+
+
+def test_parquet_roundtrip_preserves_rows(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_ckpt")
+    write_parquet(orders, path)
+    back = spark.read.parquet(path)
+    assert back.count() == orders.count()
+    assert dict(back.dtypes) == dict(orders.dtypes)
+    assert back.exceptAll(orders).count() == 0
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """A3 at scale: partitionBy + a partition-key filter must prune at
+    the file index, not scan-and-filter."""
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_by_year")
+    write_parquet(orders, path, partition_by=["o_year"])
+    back = spark.read.parquet(path).filter(F.col("o_year") == 1995)
+    plan = plan_str(back)
+    # Partition filters appear separately from data filters in the scan.
+    assert "PartitionFilters" in plan and "o_year" in plan.split("PartitionFilters")[1].split("\n")[0]
+    expected = orders.filter(F.col("o_year") == 1995).count()
+    assert back.count() == expected
+
+
+def test_model_save_load_same_predictions(spark, sf_dir, tmp_path):
+    """A4: fitted models persist and reload bit-identically
+    (reference model.save('models/cnn_10000b.h5') / load_model)."""
+    from pyspark.ml.regression import LinearRegressionModel
+
+    ev = load_table(spark, sf_dir, "events")
+    feat = M.with_event_features(ev).cache()
+    model = M.lasso_regression(feat)
+    path = str(tmp_path / "lasso_model")
+    model.write().overwrite().save(path)
+    loaded = LinearRegressionModel.load(path)
+    a = model.transform(feat).select("event_id", "prediction")
+    b = loaded.transform(feat).select("event_id", "prediction")
+    assert a.exceptAll(b).count() == 0
