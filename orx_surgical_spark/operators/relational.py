@@ -229,3 +229,37 @@ def shuffle_rows(df: DataFrame, seed: int = 42) -> DataFrame:
     """Seeded random shuffle (SURVEY §2-E6; reference ``sample(frac=1)``,
     ``cms_preprocess.py:317``)."""
     return df.orderBy(F.rand(seed))
+
+
+# ---------------------------------------------------------------------------
+# Skew handling
+# ---------------------------------------------------------------------------
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    n_salts: int = 8,
+    how: str = "inner",
+    seed: int = 42,
+) -> DataFrame:
+    """Skew-safe equi-join: salt the fact side's key with a random
+    bucket and replicate the (moderate-sized) other side across all
+    buckets, so one hot key spreads over ``n_salts`` tasks instead of
+    one straggler.
+
+    AQE's skew-join split (enabled in session.py) handles most skew at
+    runtime; explicit salting is for the pathological keys AQE can't
+    split (e.g. a single key holding >1 executor's memory of rows on
+    the build side).  The replicated side grows ``n_salts``x — keep it
+    the smaller input.
+    """
+    salted_fact = fact.withColumn(
+        "__salt", (F.rand(seed) * n_salts).cast("int")
+    )
+    replicated = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    out = salted_fact.join(replicated, on=[on, "__salt"], how=how)
+    return out.drop("__salt")

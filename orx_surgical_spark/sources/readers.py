@@ -95,3 +95,22 @@ def write_parquet(df: DataFrame, path: str, partition_by: Sequence[str] = ()) ->
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: Sequence[str],
+    n_buckets: int = 32,
+    sort_by: Sequence[str] = (),
+) -> None:
+    """Bucketed managed table: pre-shuffles once at write time so every
+    later equi-join/aggregation on the bucket keys is co-located —
+    Catalyst drops the Exchange on both bucketed sides.  The 100 TB
+    idiom for fact tables that join repeatedly on the same key (e.g.
+    claims bucketed by patient id); ``n_buckets`` should be sized so a
+    bucket fits one task comfortably (~100-500 MB)."""
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.format("parquet").saveAsTable(table)

@@ -1,0 +1,84 @@
+"""Scale-shape tests: skew salting and bucketed co-located joins —
+the explicit levers beyond AQE for the 100 TB tier."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from orx_surgical_spark.operators.relational import dim_fact_join, salted_join
+from orx_surgical_spark.plans import count_exchanges, plan_str
+from orx_surgical_spark.sources import load_table
+from orx_surgical_spark.sources.readers import write_bucketed
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    plain = orders.join(
+        cust, orders["o_custkey"] == cust["c_custkey"]
+    ).select("o_orderkey", "c_mktsegment")
+    salted = salted_join(
+        orders.withColumnRenamed("o_custkey", "k"),
+        cust.withColumnRenamed("c_custkey", "k"),
+        on="k",
+        n_salts=8,
+    ).select("o_orderkey", "c_mktsegment")
+    assert salted.count() == plain.count()
+    assert salted.exceptAll(plain).count() == 0
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """One hot key must land in multiple salt buckets."""
+    hot = spark.range(10_000).select(F.lit(1).alias("k"), F.col("id"))
+    dim = spark.createDataFrame([(1, "x")], "k long, v string")
+    out = salted_join(hot, dim, on="k", n_salts=8)
+    assert out.count() == 10_000
+    # inspect the salt distribution before the drop: rebuild the salted side
+    salted = hot.withColumn("__salt", (F.rand(42) * 8).cast("int"))
+    n_buckets = salted.select("__salt").distinct().count()
+    assert n_buckets == 8
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, sf_dir, tmp_path_factory):
+    spark.sql("CREATE DATABASE IF NOT EXISTS bucketed_test")
+    spark.catalog.setCurrentDatabase("bucketed_test")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    write_bucketed(orders, "orders_b", ["o_orderkey"], n_buckets=8)
+    write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "lineitem_b",
+        ["o_orderkey"],
+        n_buckets=8,
+    )
+    yield "orders_b", "lineitem_b"
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.catalog.setCurrentDatabase("default")
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, bucketed_tables):
+    ot, lt = bucketed_tables
+    o = spark.table(ot)
+    l = spark.table(lt)
+    joined = o.hint("merge").join(l, on="o_orderkey").select(
+        "o_orderkey", "o_totalprice", "l_quantity"
+    )
+    plan = plan_str(joined, "simple")
+    assert "Exchange" not in plan  # co-located: bucket layout replaces shuffle
+    # and the result is correct vs the plain join
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    expected = orders.join(
+        lineitem, orders["o_orderkey"] == lineitem["l_orderkey"]
+    ).count()
+    assert joined.count() == expected
+
+
+def test_broadcast_dim_join_single_exchange(spark, sf_dir):
+    """dim_fact_join must not shuffle the fact side at all."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    joined = dim_fact_join(orders, cust, on=orders["o_custkey"] == cust["c_custkey"])
+    # only a broadcast exchange for the dim; no hash-partition exchange
+    assert "hashpartitioning" not in plan_str(joined, "simple")
