@@ -1,0 +1,126 @@
+"""Property-based tests (hypothesis for pure driver-side functions;
+seeded batch properties for Spark expressions — one job checks the
+property over many generated rows at once)."""
+
+import math
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from orx_surgical_spark.functions.metrics import trapezoid_auc
+from orx_surgical_spark.operators.dedup import jaccard
+from orx_surgical_spark.operators.inference import linear_sigmoid_model
+from orx_surgical_spark.operators.relational import clean_code
+from orx_surgical_spark.operators.encoders import hash_fraction
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(0, 1, allow_nan=False), st.floats(0, 1, allow_nan=False)
+        ),
+        min_size=2,
+        max_size=50,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_trapezoid_auc_bounded(points):
+    auc = trapezoid_auc(points)
+    assert -1e-9 <= auc <= 1.0 + 1e-9  # area inside the unit square
+
+
+@given(
+    st.lists(st.floats(-5, 5, allow_nan=False), min_size=1, max_size=8),
+    st.floats(-5, 5, allow_nan=False),
+)
+@settings(max_examples=100, deadline=None)
+def test_linear_sigmoid_model_in_unit_interval(weights, bias):
+    predict = linear_sigmoid_model(weights, bias)()
+    x = np.linspace(-10, 10, 7 * len(weights)).reshape(7, len(weights))
+    y = predict(x)
+    assert y.shape == (7,)
+    assert ((y >= 0) & (y <= 1)).all()  # sigmoid saturates to 0/1 in float64
+    logit = x @ np.asarray(weights) + bias
+    assert np.allclose(y, 1.0 / (1.0 + np.exp(-logit)))
+
+
+def test_jaccard_properties_batch(spark):
+    """Jaccard over 500 random array pairs: bounded, symmetric, 1 on
+    self, and equal to the python-set definition."""
+    rng = np.random.default_rng(42)
+    rows = []
+    for _ in range(500):
+        a = sorted(set(rng.integers(0, 20, rng.integers(0, 10)).tolist()))
+        b = sorted(set(rng.integers(0, 20, rng.integers(0, 10)).tolist()))
+        inter, union = len(set(a) & set(b)), len(set(a) | set(b))
+        rows.append((
+            [str(x) for x in a], [str(x) for x in b],
+            0.0 if union == 0 else inter / union,
+        ))
+    df = spark.createDataFrame(
+        rows, "a array<string>, b array<string>, expected double"
+    )
+    checked = df.select(
+        jaccard(F.col("a"), F.col("b")).alias("jab"),
+        jaccard(F.col("b"), F.col("a")).alias("jba"),
+        jaccard(F.col("a"), F.col("a")).alias("jaa"),
+        F.size("a").alias("na"),
+        "expected",
+    )
+    bad = checked.filter(
+        (F.abs(F.col("jab") - F.col("expected")) > 1e-9)
+        | (F.abs(F.col("jab") - F.col("jba")) > 1e-9)
+        | ((F.col("na") > 0) & (F.abs(F.col("jaa") - 1.0) > 1e-9))
+        | (F.col("jab") < 0) | (F.col("jab") > 1)
+    )
+    assert bad.count() == 0
+
+
+def test_clean_code_idempotent_batch(spark):
+    """Cleaning an already-clean code is the identity (idempotence)."""
+    rng = np.random.default_rng(7)
+    raw = []
+    for i in range(300):
+        base = f"C{rng.integers(0, 999):03d}"
+        deco = rng.integers(0, 4)
+        if deco == 0:
+            raw.append(f"'{base}'")
+        elif deco == 1:
+            raw.append(f"  {base}.{rng.integers(0, 99)} ")
+        elif deco == 2:
+            raw.append(f"'{base}.{rng.integers(0, 9)}'")
+        else:
+            raw.append(base)
+    df = spark.createDataFrame([(r,) for r in raw], "raw string")
+    once = df.select(clean_code("raw").alias("c1"))
+    twice = once.select(F.col("c1"), clean_code("c1").alias("c2"))
+    assert twice.filter(F.col("c1") != F.col("c2")).count() == 0
+    # and every cleaned value is quote/dot/space-free
+    assert once.filter(F.col("c1").rlike("['. ]")).count() == 0
+
+
+def test_hash_fraction_uniform_and_stable(spark):
+    """hash_fraction: values in [0,1), deterministic, and roughly
+    uniform (each decile within 3x of expectation over 10k keys)."""
+    df = spark.range(10_000).select(hash_fraction(F.col("id")).alias("f"))
+    assert df.filter((F.col("f") < 0) | (F.col("f") >= 1)).count() == 0
+    deciles = (
+        df.groupBy(F.floor(F.col("f") * 10).alias("d"))
+        .count()
+        .collect()
+    )
+    counts = {r["d"]: r["count"] for r in deciles}
+    assert set(counts) == set(range(10))
+    assert all(300 < c < 3000 for c in counts.values())
+    again = spark.range(10_000).select(hash_fraction(F.col("id")).alias("f"))
+    assert df.exceptAll(again).count() == 0
+
+
+def test_trapezoid_auc_known_values():
+    assert trapezoid_auc([(0, 0), (1, 1)]) == 0.5  # diagonal
+    assert trapezoid_auc([(0, 1), (1, 1)]) == 1.0  # perfect
+    assert math.isclose(
+        trapezoid_auc([(0, 0), (0.5, 0.5), (1, 1)]), 0.5
+    )
