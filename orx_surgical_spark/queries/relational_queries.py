@@ -778,3 +778,127 @@ def profile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# OLAP breadth the engine exposes beyond the reference: rollup subtotals,
+# running windows, lag deltas, sketch aggregates (SURVEY §2-D note).
+# ---------------------------------------------------------------------------
+
+@register(
+    "rollup_revenue",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    doc="Hierarchical subtotals via ROLLUP (flag -> flag+status -> grand "
+        "total) — one pass, Spark expands grouping sets map-side.",
+    tags=("D1", "rollup"),
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum(revenue), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "running_order_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS UNBOUNDED PRECEDING
+           ), 2) AS running_total
+    FROM orders
+    """,
+    doc="Per-customer running revenue: cumulative window sum with a "
+        "deterministic (date, key) frame order; one shuffle on the "
+        "partition key.",
+    tags=("window",),
+)
+def running_order_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+@register(
+    "order_gap_days",
+    oracle="""
+    WITH g AS (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             LAG(o_orderdate) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ) AS prev_date
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey,
+           CAST(date_diff('day', prev_date, o_orderdate) AS BIGINT) AS gap_days
+    FROM g WHERE prev_date IS NOT NULL
+    """,
+    doc="Days since the customer's previous order (lag window + "
+        "datediff) — the reorder-interval building block.",
+    tags=("window", "B8"),
+)
+def order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderdate").over(w)
+    return (
+        o.select(
+            "o_custkey", "o_orderkey",
+            F.datediff("o_orderdate", prev).cast("bigint").alias("gap_days"),
+        )
+        .filter(F.col("gap_days").isNotNull())
+    )
+
+
+@register(
+    "sketch_aggregates",
+    oracle=None,  # HLL/KLL sketches are engine-specific -> rows-only;
+    # tests/test_sketches.py bounds their error against exact values
+    doc="Sketch aggregates per event_type: approx_count_distinct (HLL) "
+        "and percentile_approx — the sublinear-memory path for "
+        "count-distinct/quantiles at 100 TB (exact variants shuffle "
+        "every distinct value).",
+    tags=("sketch", "D3"),
+)
+def sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.round(F.percentile_approx("value", 0.5), 2).alias("approx_median"),
+        F.round(F.percentile_approx("value", 0.99), 2).alias("approx_p99"),
+    )
+
+
+@register(
+    "dedup_apply",
+    oracle="""
+    SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id
+    FROM documents
+    GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+    """,
+    doc="Apply-side of exact dedup: the surviving representative ids "
+        "(min id per content hash) via aggregate + semi join — the "
+        "dedup ladder's output table.",
+    tags=("dedup",),
+)
+def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orx_surgical_spark.operators.dedup import drop_exact_dups
+
+    docs = load_table(spark, sf_dir, "documents")
+    return drop_exact_dups(docs).select("doc_id")
