@@ -1,0 +1,136 @@
+"""Temporal join operators Spark lacks as primitives — as-of join and
+range join — built as shuffle-minimal compositions (beyond-reference
+tier; the reference has no temporal joins, SURVEY §2-C note).
+
+Both avoid the naive theta-join (cross product + filter), which is
+O(n·m) and unrunnable at 100 TB:
+
+- **as-of**: union the two tagged streams and run one window pass — a
+  single shuffle on (key), no join at all.
+- **range**: equi-join on coarse time buckets (each left row probes its
+  own and the previous bucket), then filter the exact predicate —
+  touches only pairs within bucket distance, never the cross product.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    prefix: str = "asof_",
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right.ts <= left.ts`` for the same key (LEFT ASOF JOIN).
+
+    Implementation: tag and union both inputs, then one
+    ``last_value(..., ignoreNulls)`` window over rows-unbounded-preceding
+    ordered by (ts, right-before-left tiebreak).  One shuffle on the
+    key, no join operator at all — the classic scalable as-of shape.
+    Ties (equal timestamps) match, like DuckDB/kdb ``asof``.
+    """
+    l = left.withColumn("__src", F.lit(1))
+    for c in value_cols:
+        l = l.withColumn(f"__v_{c}", F.lit(None).cast(dict(right.dtypes)[c]))
+    r = right.select(
+        F.col(on),
+        F.col(right_ts).alias(left_ts),
+        F.lit(0).alias("__src"),
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+    )
+    left_types = dict(left.dtypes)
+    unioned = l.select(
+        *left.columns, "__src", *[f"__v_{c}" for c in value_cols]
+    ).unionByName(
+        r.select(
+            *[
+                F.col(c)
+                if c in (on, left_ts)
+                else F.lit(None).cast(left_types[c]).alias(c)
+                for c in left.columns
+            ],
+            "__src",
+            *[f"__v_{c}" for c in value_cols],
+        ),
+        allowMissingColumns=False,
+    )
+    # right rows sort before left rows at equal ts, so ties match.
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(left_ts).asc(), F.col("__src").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
+            for c in value_cols
+        ],
+    )
+    return carried.filter(F.col("__src") == 1).drop(
+        "__src", *[f"__v_{c}" for c in value_cols]
+    )
+
+
+def range_join_pairs(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    id_col: str,
+    max_gap_seconds: int,
+) -> DataFrame:
+    """Pairs of rows with the same key whose timestamps lie within
+    ``max_gap_seconds`` of each other (id_a < id_b) — a banded range
+    self-join.
+
+    Implementation: bucket time by the gap width; each pair within the
+    gap is either in the same bucket or adjacent ones, so the left side
+    probes (bucket, bucket+1) via an equi-join on (key, bucket) and the
+    exact predicate filters the remainder.  Join input is ~2 rows per
+    row regardless of corpus size — never a cross product.
+    """
+    bucket = F.floor(F.unix_timestamp(F.col(ts)) / max_gap_seconds)
+    a = df.select(
+        F.col(key).alias("__k"),
+        F.col(id_col).alias("id_a"),
+        F.col(ts).alias("__ts_a"),
+        bucket.alias("__b"),
+    )
+    # Right side registers under its own bucket and the next one, so a
+    # left probe on its bucket sees all candidates within one gap width.
+    b = df.select(
+        F.col(key).alias("__k"),
+        F.col(id_col).alias("id_b"),
+        F.col(ts).alias("__ts_b"),
+        F.explode(F.array(bucket, bucket + 1)).alias("__b"),
+    )
+    # The probe only sees right rows in its own or the previous bucket
+    # (i.e. the later row of a pair finds the earlier one), so the pair
+    # is canonicalized by id afterwards — not filtered by id order in
+    # the join, which would drop pairs whose ids are not time-ordered.
+    pairs = a.join(b, on=["__k", "__b"]).filter(
+        (F.col("id_a") != F.col("id_b"))
+        & (
+            F.abs(
+                F.unix_timestamp("__ts_a") - F.unix_timestamp("__ts_b")
+            )
+            <= max_gap_seconds
+        )
+    )
+    return pairs.select(
+        F.col("__k").alias(key),
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+        F.abs(
+            F.unix_timestamp("__ts_a") - F.unix_timestamp("__ts_b")
+        ).alias("gap_seconds"),
+    ).distinct()

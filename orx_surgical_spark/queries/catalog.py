@@ -70,6 +70,7 @@ def _load_all() -> None:
         relational_queries,
         similarity_queries,
         streaming_queries,
+        temporal_queries,
         text_queries,
     )
 

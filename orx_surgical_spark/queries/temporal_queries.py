@@ -1,0 +1,78 @@
+"""Temporal-join catalog queries (beyond-reference tier): as-of join
+and banded range join over the events table — both oracle-checked
+(DuckDB has a native ASOF JOIN; the range predicate is plain SQL)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from orx_surgical_spark.operators.temporal import asof_join, range_join_pairs
+from orx_surgical_spark.queries.catalog import register
+from orx_surgical_spark.sources import load_table
+
+
+@register(
+    "asof_purchase_prior_click",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      -- one row per (user, ts): dedup makes the as-of match unambiguous
+      SELECT user_id, ts, MAX(value) AS click_value
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, ts
+    )
+    SELECT p.event_id, ROUND(c.click_value, 2) AS asof_click_value
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    doc="AS-OF JOIN: each purchase gets the same user's latest prior "
+        "click value. Implemented as tagged-union + one window pass "
+        "(single shuffle on the key, no join operator) — the scalable "
+        "as-of shape; oracle is DuckDB's native ASOF JOIN.",
+    tags=("temporal", "asof"),
+)
+def asof_purchase_prior_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    out = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["click_value"],
+    )
+    return out.select(
+        "event_id", F.round("asof_click_value", 2).alias("asof_click_value")
+    )
+
+
+@register(
+    "range_join_close_events",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, floor(epoch(ts)) AS s FROM events
+    )
+    SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+           CAST(ABS(a.s - b.s) AS BIGINT) AS gap_seconds
+    FROM e a JOIN e b
+      ON a.user_id = b.user_id
+     AND a.event_id < b.event_id
+     AND ABS(a.s - b.s) <= 300
+    """,
+    doc="Banded range self-join: same-user event pairs within 5 minutes. "
+        "Time is bucketed by the gap width and each row probes its own + "
+        "next bucket via an equi-join, so the join never sees the cross "
+        "product (the theta-join a naive range join would be).",
+    tags=("temporal", "range"),
+)
+def range_join_close_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return range_join_pairs(
+        ev, key="user_id", ts="ts", id_col="event_id", max_gap_seconds=300
+    )

@@ -1,0 +1,74 @@
+"""Temporal join semantics the oracle query doesn't isolate: as-of tie
+matching, no-prior-match nulls, and range-join bucket boundaries."""
+
+from pyspark.sql import functions as F
+
+from orx_surgical_spark.operators.temporal import asof_join, range_join_pairs
+
+
+def _ts(spark, rows, schema):
+    df = spark.createDataFrame(rows, schema)
+    for c, t in df.dtypes:
+        if c == "ts" and t == "string":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def test_asof_matches_latest_prior_and_ties(spark):
+    left = _ts(
+        spark,
+        [(1, "2024-01-01 10:00:00", "L1"),
+         (1, "2024-01-01 12:00:00", "L2"),
+         (2, "2024-01-01 09:00:00", "L3")],
+        "k long, ts string, lid string",
+    )
+    right = _ts(
+        spark,
+        [(1, "2024-01-01 09:30:00", 10.0),
+         (1, "2024-01-01 10:00:00", 20.0),   # tie with L1 -> matches
+         (1, "2024-01-01 11:00:00", 30.0),
+         (2, "2024-01-01 09:30:00", 99.0)],  # after L3 -> no match
+        "k long, ts string, v double",
+    )
+    out = {
+        r["lid"]: r["asof_v"]
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts", value_cols=["v"]
+        ).collect()
+    }
+    assert out == {"L1": 20.0, "L2": 30.0, "L3": None}
+
+
+def test_range_join_boundary_inclusive_and_cross_bucket(spark):
+    df = _ts(
+        spark,
+        [(1, 100, "2024-01-01 10:00:00"),
+         (1, 101, "2024-01-01 10:05:00"),   # exactly 300s -> included
+         (1, 102, "2024-01-01 10:09:59"),   # 299s from 101 (crosses bucket)
+         (1, 103, "2024-01-01 11:00:00"),   # far from all
+         (2, 104, "2024-01-01 10:00:30")],  # other key
+        "user_id long, event_id long, ts string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["gap_seconds"]
+        for r in range_join_pairs(
+            df, key="user_id", ts="ts", id_col="event_id", max_gap_seconds=300
+        ).collect()
+    }
+    assert pairs == {(100, 101): 300, (101, 102): 299}
+
+
+def test_range_join_finds_pairs_regardless_of_id_order(spark):
+    # later event has the SMALLER id: the canonicalization must still
+    # surface the pair exactly once
+    df = _ts(
+        spark,
+        [(1, 200, "2024-01-01 10:04:00"),
+         (1, 50, "2024-01-01 10:05:00")],
+        "user_id long, event_id long, ts string",
+    )
+    rows = range_join_pairs(
+        df, key="user_id", ts="ts", id_col="event_id", max_gap_seconds=300
+    ).collect()
+    assert len(rows) == 1
+    assert (rows[0]["id_a"], rows[0]["id_b"]) == (50, 200)
