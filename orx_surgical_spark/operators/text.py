@@ -109,3 +109,55 @@ def normalized_text(col: str | Column) -> Column:
     whitespace — the canonical form for exact dedup."""
     c = F.col(col) if isinstance(col, str) else col
     return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+#: BPE-ish pre-tokenizer pattern (GPT-2 style, simplified to the RE2
+#: subset so the same pattern runs verbatim in Spark and DuckDB):
+#: contractions, space-prefixed letter runs, digit runs, punctuation
+#: runs, residual whitespace.
+BPE_PRETOKEN_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+)
+
+
+def bpe_tokens(col: str | Column) -> Column:
+    """BPE-style pre-tokenization: the regex split a GPT-2-family
+    tokenizer applies before byte-pair merges.  Token *counts* from this
+    stage are the standard cheap estimate of LLM token cost."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(BPE_PRETOKEN_PATTERN), 0)
+
+
+def winnowing_fingerprints(toks: Column, n: int = 3, window: int = 4) -> Column:
+    """Winnowing document fingerprints (the rolling-hash scheme of
+    Schleimer et al.): hash every ``n``-gram shingle, slide a window of
+    ``window`` hashes, keep each window's minimum — guaranteeing any
+    sufficiently long match between documents shares a fingerprint.
+
+    Hashes are the first 8 hex chars of the shingle md5 (lexicographic
+    min == numeric min on fixed-width lowercase hex, so the whole
+    construction is engine-independent and oracle-checkable).  Short
+    documents (fewer hashes than the window) fingerprint the minimum of
+    what they have.
+
+    Unlike the set-based MinHash tier, winnowing is positional: the
+    shingle stream stays in document order (no distinct), because the
+    window slides over the text.
+    """
+    count = F.size(toks) - (n - 1)
+    seq_shingles = F.when(
+        count >= 1,
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    hashes = F.transform(seq_shingles, lambda s: F.substring(F.md5(s), 1, 8))
+    n_windows = F.greatest(F.size(hashes) - (window - 1), F.lit(1))
+    mins = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda i: F.array_min(F.slice(hashes, i, window)),
+    )
+    return F.when(F.size(hashes) > 0, F.array_distinct(mins)).otherwise(
+        F.array().cast("array<string>")
+    )

@@ -10,6 +10,7 @@ check.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from orx_surgical_spark.operators import dedup as D
 from orx_surgical_spark.queries.catalog import register
@@ -183,3 +184,57 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def mllib_minhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.mllib_minhash_pairs(ensure_min_partitions(load_table(spark, sf_dir, "documents")))
+
+
+@register(
+    "lsh_verified_pairs",
+    oracle=_BANDS_CTE + f"""
+    , cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a
+      JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+      WHERE a.doc_id < b.doc_id
+    ), shn AS (
+      SELECT doc_id, {_SHINGLES} AS sh
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    )
+    SELECT c.id_a, c.id_b,
+           ROUND(
+             CASE WHEN len(list_distinct(list_concat(x.sh, y.sh))) = 0 THEN 0.0
+                  ELSE len(list_intersect(x.sh, y.sh)) * 1.0
+                       / len(list_distinct(list_concat(x.sh, y.sh)))
+             END, 6) AS jaccard
+    FROM cand c
+    JOIN shn x ON c.id_a = x.doc_id
+    JOIN shn y ON c.id_b = y.doc_id
+    WHERE CASE WHEN len(list_distinct(list_concat(x.sh, y.sh))) = 0 THEN 0.0
+               ELSE len(list_intersect(x.sh, y.sh)) * 1.0
+                    / len(list_distinct(list_concat(x.sh, y.sh)))
+          END >= 0.5
+    """,
+    doc="The end-to-end near-dup pipeline at scale: MinHash-LSH "
+        "candidate pairs verified by exact shingle Jaccard >= 0.5 — "
+        "exact verification touches only the LSH candidates, never "
+        "all-pairs (the composition the exact baseline ngram_jaccard_"
+        "pairs exists to validate).",
+    tags=("dedup", "minhash", "jaccard"),
+)
+def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orx_surgical_spark.operators.text import shingles, tokens
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    cands = D.lsh_candidate_pairs(docs)
+    sh = docs.select(
+        F.col("doc_id"), shingles(tokens("text"), 3).alias("sh")
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        cands.join(a, on="id_a").join(b, on="id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(D.jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+    return verified

@@ -130,3 +130,62 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", X.fingerprint("text").alias("fingerprint"))
+
+
+@register(
+    "bpe_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{X.BPE_PRETOKEN_PATTERN.replace(chr(39), chr(39) * 2)}')) AS INTEGER)
+               AS n_bpe_tokens,
+           CAST(len({_TOKS}) AS INTEGER) AS n_word_tokens
+    FROM documents
+    """,
+    doc="LLM token-cost estimate: BPE-style pre-tokenizer counts (the "
+        "GPT-2 regex split, RE2-safe subset) next to whitespace word "
+        "counts — the same pattern string runs verbatim on both engines.",
+    tags=("text", "tokens"),
+)
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(X.bpe_tokens("text")).alias("n_bpe_tokens"),
+        X.token_count(X.tokens("text")).alias("n_word_tokens"),
+    )
+
+
+@register(
+    "winnowing_fingerprints",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), sh AS (
+      -- positional shingle stream: NO distinct (winnowing is order-based)
+      SELECT doc_id,
+             list_transform(
+               range(1, greatest(len(toks) - 2, 0) + 1),
+               i -> array_to_string(toks[i:i+2], ' ')) AS sh
+      FROM t
+    ), h AS (
+      SELECT doc_id, list_transform(sh, s -> substr(md5(s), 1, 8)) AS hs
+      FROM sh WHERE len(sh) > 0
+    ), w AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(hs) - 3, 1) + 1),
+               i -> list_min(hs[i:i+3]))) AS fps
+      FROM h
+    )
+    SELECT doc_id, unnest(fps) AS fp FROM w
+    """,
+    doc="Winnowing (rolling-hash) fingerprints: min md5-prefix per "
+        "sliding window of 4 shingle hashes, exploded to (doc, fp) rows "
+        "— the plagiarism-detection / long-match dedup scheme "
+        "(Schleimer et al.), engine-independent by construction.",
+    tags=("text", "fingerprint", "dedup"),
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fps = X.winnowing_fingerprints(X.tokens("text"), n=3, window=4)
+    return docs.select("doc_id", F.explode(fps).alias("fp"))
