@@ -187,5 +187,4 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    fps = X.winnowing_fingerprints(X.tokens("text"), n=3, window=4)
-    return docs.select("doc_id", F.explode(fps).alias("fp"))
+    return X.winnowing_fingerprints(docs, "text", "doc_id", n=3, window=4)
