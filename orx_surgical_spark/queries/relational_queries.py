@@ -902,3 +902,101 @@ def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return drop_exact_dups(docs).select("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H classics adapted to the synthetic schema: multi-join + agg + top-k
+# (Q3 shape) and a 6-way snowflake join (Q5 shape) — join-ordering and
+# broadcast-selection showcases.
+# ---------------------------------------------------------------------------
+
+@register(
+    "shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate  > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: 3-way join, anti-correlated date filters, "
+        "grouped revenue, top-10 by revenue (TakeOrderedAndProject; "
+        "deterministic tiebreak keys).",
+    tags=("C1", "C2", "E5"),
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    joined = (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders.filter(F.col("o_orderdate") < cutoff),
+              cust["c_custkey"] == orders["o_custkey"])
+        .join(li.filter(F.col("l_shipdate") > cutoff),
+              F.col("o_orderkey") == li["l_orderkey"])
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1999-01-01'
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q5 shape: 6-way snowflake join (fact + 5 dims, including "
+        "the supplier-nation == customer-nation local-supplier "
+        "condition) with region pruning — Catalyst broadcast-selects the "
+        "dim chain; only the fact side shuffles for the aggregate.",
+    tags=("C1", "C2", "D1"),
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = {n: load_table(spark, sf_dir, n)
+         for n in ("customer", "orders", "lineitem", "supplier", "nation", "region")}
+    joined = (
+        t["customer"]
+        .join(t["orders"], t["customer"]["c_custkey"] == t["orders"]["o_custkey"])
+        .join(t["lineitem"], F.col("o_orderkey") == t["lineitem"]["l_orderkey"])
+        .join(
+            t["supplier"],
+            (F.col("l_suppkey") == t["supplier"]["s_suppkey"])
+            & (t["supplier"]["s_nationkey"] == t["customer"]["c_nationkey"]),
+        )
+        .join(t["nation"], F.col("c_nationkey") == t["nation"]["n_nationkey"])
+        .join(t["region"], F.col("n_regionkey") == t["region"]["r_regionkey"])
+        .filter(
+            (F.col("r_name") == "ASIA")
+            & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+        )
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.groupBy("n_name").agg(
+        F.round(F.sum(revenue), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
