@@ -1000,3 +1000,74 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(revenue), 2).alias("revenue"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured + reshape breadth: JSON property extraction and
+# wide->long unpivot (melt).
+# ---------------------------------------------------------------------------
+
+@register(
+    "json_props_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(k) AS BIGINT) AS n_with_k,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(MAX(k) AS BIGINT) AS max_k
+    FROM (
+      SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM events
+    )
+    GROUP BY event_type
+    """,
+    doc="Semi-structured column handling: parse the JSON props string "
+        "with a declared schema (from_json) and aggregate the extracted "
+        "field — schema-on-read for event payloads.",
+    tags=("B2", "json"),
+)
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.from_json("props", "k bigint").getField("k").alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("k").alias("n_with_k"),
+        F.sum("k").alias("sum_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+@register(
+    "unpivot_measures",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
+           ROUND(l_quantity, 6) AS value FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'price', ROUND(l_extendedprice, 6) FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', ROUND(l_discount, 6) FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'tax', ROUND(l_tax, 6) FROM lineitem
+    """,
+    doc="Wide->long unpivot (melt) of lineitem's four measures — the "
+        "inverse of pivot; map-side only, no shuffle (reference's wide "
+        "code columns -> long form is the same reshape, SURVEY §2-C3).",
+    tags=("reshape", "C3"),
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    renamed = li.select(
+        "l_orderkey", "l_linenumber",
+        F.col("l_quantity").alias("quantity"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_discount").alias("discount"),
+        F.col("l_tax").alias("tax"),
+    )
+    out = renamed.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["quantity", "price", "discount", "tax"],
+        "measure",
+        "value",
+    )
+    return out.withColumn("value", F.round("value", 6))
