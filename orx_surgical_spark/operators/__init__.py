@@ -5,6 +5,7 @@ text, multimodal, temporal joins, batched inference)."""
 from orx_surgical_spark.operators import (  # noqa: F401
     dedup,
     encoders,
+    graph,
     inference,
     multimodal,
     relational,
@@ -16,6 +17,7 @@ from orx_surgical_spark.operators import (  # noqa: F401
 __all__ = [
     "dedup",
     "encoders",
+    "graph",
     "inference",
     "multimodal",
     "relational",

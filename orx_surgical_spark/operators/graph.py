@@ -1,0 +1,102 @@
+"""Distributed connected components over an edge DataFrame.
+
+Near-duplicate *clustering* is the missing last step of every dedup
+pipeline in this engine: LSH / minhash / embedding blocking emit
+verified candidate PAIRS (:mod:`orx_surgical_spark.operators.dedup`,
+:mod:`~orx_surgical_spark.operators.similarity`), but "keep one doc per
+duplicate cluster" needs the transitive closure of those pairs — a
+connected-components problem on a graph whose edge list is itself a
+DataFrame.
+
+Algorithm: min-label propagation fused with pointer jumping (path
+halving). Each round does
+
+1. ``label(v) <- min(label(v), min over neighbours u of label(u))``
+   — one shuffle on the edge's src key + one hash aggregate on dst;
+2. ``label(v) <- label(label(v))`` — one self-join of the (small)
+   label table, which halves pointer chains.
+
+Step 2 turns the O(diameter) worst case of plain propagation (long
+chains) into O(log diameter) rounds, the same convergence class as the
+large-star/small-star algorithm of Kiveris et al. (MapReduce CC), while
+staying three DataFrame ops per round. Every round ends in an eager
+``localCheckpoint`` — iterative lineage otherwise grows the Catalyst
+plan exponentially and re-executes prior rounds. On a real cluster with
+a fault-tolerance requirement, swap ``localCheckpoint`` for
+``checkpoint`` against a durable dir; semantics are identical.
+
+Scale notes: the label table is one row per *node that appears in an
+edge* — for near-dup clustering that is only the duplicated minority of
+the corpus, typically orders of magnitude smaller than the corpus
+itself. Both per-round shuffles key on node id; skew only arises if one
+node participates in a huge fraction of edges, which LSH band-capping
+upstream (dedup.py) already bounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Return ``(node, component)`` where ``component`` is the minimum
+    node id in the node's connected component.
+
+    ``edges`` is an undirected edge list (direction ignored, self-loops
+    dropped). Nodes with no edges don't appear; callers wanting
+    singleton components left-join the full node set and coalesce to
+    the node's own id.
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+        F.col("a") != F.col("b")
+    )
+    sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym = sym.distinct().localCheckpoint(eager=True)
+
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        # (1) min label over neighbours, folded into own label.
+        neigh_min = (
+            sym.join(labels, sym["a"] == labels["node"])
+            .groupBy(sym["b"].alias("node"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        stepped = (
+            labels.join(neigh_min, "node", "left")
+            .select(
+                "node",
+                F.least("label", F.coalesce("nmin", "label")).alias("label"),
+            )
+        )
+        # (2) pointer jump: label <- label(label). Halves chains.
+        parent = stepped.select(
+            F.col("node").alias("p_node"), F.col("label").alias("p_label")
+        )
+        jumped = (
+            stepped.join(parent, stepped["label"] == parent["p_node"], "left")
+            .select("node", F.coalesce("p_label", "label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.join(labels.withColumnRenamed("label", "old"), "node")
+            .where(F.col("label") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+
+    return labels.select("node", F.col("label").alias("component"))

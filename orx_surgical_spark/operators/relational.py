@@ -144,6 +144,27 @@ def semi_join(df: DataFrame, keys: DataFrame, on: str | Sequence[str]) -> DataFr
     return df.join(keys, on=on, how="left_semi")
 
 
+def anti_join(df: DataFrame, keys: DataFrame, on: str | Sequence[str]) -> DataFrame:
+    """LEFT ANTI join: keep rows whose key does NOT appear in ``keys``
+    (NOT EXISTS). Dual of :func:`semi_join`; Catalyst broadcasts the
+    key side when small, so the fact table is never shuffled."""
+    return df.join(keys, on=on, how="left_anti")
+
+
+def merge_upsert(
+    target: DataFrame, source: DataFrame, on: str | Sequence[str]
+) -> DataFrame:
+    """SCD-1 MERGE/upsert as a pure DataFrame composition: rows from
+    ``source`` win on key collision, unmatched ``target`` rows survive,
+    new ``source`` keys are inserted. Equivalent to ``MERGE ... WHEN
+    MATCHED THEN UPDATE WHEN NOT MATCHED THEN INSERT`` over a full
+    snapshot — one anti-join shuffle plus a union; at lake scale the
+    same plan is what Delta/Iceberg execute inside a transactional
+    commit."""
+    return anti_join(target, source.select(on if isinstance(on, str) else list(on)),
+                     on).unionByName(source)
+
+
 # ---------------------------------------------------------------------------
 # D. Aggregations / grouping
 # ---------------------------------------------------------------------------

@@ -67,6 +67,7 @@ def _load_all() -> None:
         encoder_queries,
         model_queries,
         multimodal_queries,
+        olap_queries,
         relational_queries,
         similarity_queries,
         streaming_queries,

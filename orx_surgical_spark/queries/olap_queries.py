@@ -1,0 +1,332 @@
+"""OLAP / lakehouse breadth queries: anti-join, CUBE, set operations,
+date-spine gap fill, exact quantiles, corr/covar, MERGE upsert, and
+connected-components dedup clustering.
+
+These extend the beyond-reference tier (COVERAGE.md) with the shapes a
+large-scale training-data pipeline leans on daily. Every query keeps
+the catalog contract: identical aliases and rounding on the Spark and
+DuckDB sides (:mod:`orx_surgical_spark.queries.catalog`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from orx_surgical_spark.operators import relational as R
+from orx_surgical_spark.operators.graph import connected_components
+from orx_surgical_spark.queries.catalog import register
+from orx_surgical_spark.sources import load_table
+
+
+@register(
+    "anti_join_no_orders",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(SUM(c_acctbal), 2) AS sum_acctbal
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND EXTRACT(year FROM o.o_orderdate) = 1995)
+    GROUP BY c_mktsegment
+    """,
+    doc="LEFT ANTI join (NOT EXISTS): customers with no 1995 order "
+        "(every customer in the synthetic data has SOME order, so the "
+        "year filter keeps the result non-trivial), summarized per "
+        "market segment. The filtered order-key side reduces to a "
+        "distinct-key build that Catalyst broadcasts — the customer scan "
+        "is never shuffled.",
+    tags=("C", "anti-join"),
+)
+def anti_join_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    never = R.anti_join(
+        customer,
+        orders.where(F.year("o_orderdate") == 1995).select(
+            F.col("o_custkey").alias("c_custkey")
+        ),
+        "c_custkey",
+    )
+    return never.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+    )
+
+
+@register(
+    "cube_order_stats",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE over (status, priority) with grouping_id disambiguating "
+        "subtotal levels — Spark expands the cube map-side into one hash "
+        "aggregate (single shuffle), not 4 separate scans.",
+    tags=("D", "cube"),
+)
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    ).select("o_orderstatus", "o_orderpriority", "gid", "n", "sum_price")
+
+
+@register(
+    "set_ops_buyer_years",
+    oracle="""
+    WITH y95 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE EXTRACT(year FROM o_orderdate) = 1995),
+         y96 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE EXTRACT(year FROM o_orderdate) = 1996)
+    SELECT 'both' AS cohort, o_custkey FROM (SELECT * FROM y95 INTERSECT SELECT * FROM y96)
+    UNION ALL
+    SELECT 'only_1995', o_custkey FROM (SELECT * FROM y95 EXCEPT SELECT * FROM y96)
+    UNION ALL
+    SELECT 'only_1996', o_custkey FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y95)
+    """,
+    doc="Set operations (INTERSECT / EXCEPT) partitioning 1995 vs 1996 "
+        "buyers into retained / churned / new cohorts. Spark plans both "
+        "ops as aggregates + joins on the same key, so AQE reuses the "
+        "exchange across the three branches.",
+    tags=("D", "set-ops"),
+)
+def set_ops_buyer_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+
+    def buyers(year: int) -> DataFrame:
+        return (
+            orders.where(F.year("o_orderdate") == year)
+            .select("o_custkey")
+            .distinct()
+        )
+
+    y95, y96 = buyers(1995), buyers(1996)
+    tag = lambda df, t: df.select(F.lit(t).alias("cohort"), "o_custkey")  # noqa: E731
+    return (
+        tag(y95.intersect(y96), "both")
+        .unionByName(tag(y95.subtract(y96), "only_1995"))
+        .unionByName(tag(y96.subtract(y95), "only_1996"))
+    )
+
+
+@register(
+    "date_spine_fill",
+    oracle="""
+    WITH bounds AS (SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi
+                    FROM events),
+         spine AS (SELECT CAST(UNNEST(generate_series(CAST(lo AS TIMESTAMP),
+                                                      CAST(hi AS TIMESTAMP),
+                                                      INTERVAL 1 DAY)) AS DATE) AS d
+                   FROM bounds),
+         types AS (SELECT DISTINCT event_type FROM events),
+         daily AS (SELECT CAST(ts AS DATE) AS d, event_type, COUNT(*) AS n
+                   FROM events GROUP BY 1, 2)
+    SELECT STRFTIME(s.d, '%Y-%m-%d') AS d, ty.event_type,
+           CAST(COALESCE(da.n, 0) AS BIGINT) AS n
+    FROM spine s
+    CROSS JOIN types ty
+    LEFT JOIN daily da ON da.d = s.d AND da.event_type = ty.event_type
+    """,
+    doc="Gap-filled daily counts: a date spine built with "
+        "sequence()/explode (no driver-side loop) cross-joined with the "
+        "type dimension, left-joined to observed counts, zeros filled. "
+        "The spine is tiny (days x types) so both joins broadcast; the "
+        "only shuffle is the daily aggregate.",
+    tags=("D", "timeseries"),
+)
+def date_spine_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("d"), "event_type"
+    )
+    bounds = ev.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("d")
+    )
+    types = ev.select("event_type").distinct()
+    daily = ev.groupBy("d", "event_type").agg(F.count(F.lit(1)).alias("n_obs"))
+    return (
+        spine.crossJoin(types)
+        .join(daily, ["d", "event_type"], "left")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("d"),
+            "event_type",
+            F.coalesce("n_obs", F.lit(0)).alias("n"),
+        )
+    )
+
+
+@register(
+    "quantiles_by_segment",
+    oracle="""
+    SELECT c_mktsegment,
+           ROUND(QUANTILE_CONT(c_acctbal, 0.25), 6) AS p25,
+           ROUND(QUANTILE_CONT(c_acctbal, 0.50), 6) AS p50,
+           ROUND(QUANTILE_CONT(c_acctbal, 0.75), 6) AS p75
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    doc="EXACT linear-interpolation quantiles (percentile()) per group — "
+        "the exact counterpart of the sketch tier's percentile_approx; "
+        "exact needs the per-group value sets, approx streams a mergeable "
+        "sketch and is the 100 TB path (sketch_aggregates).",
+    tags=("D", "quantiles"),
+)
+def quantiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.groupBy("c_mktsegment").agg(
+        F.round(F.expr("percentile(c_acctbal, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(c_acctbal, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(c_acctbal, 0.75)"), 6).alias("p75"),
+    )
+
+
+@register(
+    "corr_covar_by_flag",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+           ROUND(STDDEV_SAMP(l_quantity), 6) AS std_qty,
+           ROUND(STDDEV_SAMP(l_extendedprice), 2) AS std_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Bivariate statistics per group: Pearson correlation, sample "
+        "covariance, stddevs — single-pass mergeable moment aggregates "
+        "(one shuffle, map-side partials), the building block for "
+        "feature-correlation screens over training tables.",
+    tags=("D", "stats"),
+)
+def corr_covar_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "covar_qty_price"
+        ),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("std_qty"),
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("std_price"),
+    )
+
+
+@register(
+    "merge_upsert_orders",
+    oracle="""
+    WITH source AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice + 1000.0 AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_custkey, 'N',
+             o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 100 = 0
+    ),
+    merged AS (
+      SELECT * FROM orders t
+      WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.o_orderkey = t.o_orderkey)
+      UNION ALL
+      SELECT * FROM source
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT)
+             AS sum_floor_price
+    FROM merged
+    GROUP BY o_orderstatus
+    """,
+    doc="MERGE / SCD-1 upsert as a DataFrame composition "
+        "(operators.relational.merge_upsert): source rows win on key "
+        "collision, new keys insert, untouched target rows survive — the "
+        "plan Delta/Iceberg run inside a transactional commit. The "
+        "deterministic source (10%% updates with a +1000 price bump, 1%% "
+        "inserts) is derived from the same snapshot so DuckDB can replay "
+        "it; an exact integer aggregate fingerprints the merged table.",
+    tags=("C", "merge"),
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    # The +1000.0 bump and the FLOOR fingerprint keep every per-row value
+    # bit-identical across engines (IEEE add, no decimal rounding) and the
+    # aggregate an exact integer sum — order-independent by construction.
+    updates = orders.where(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1000.0
+    )
+    inserts = orders.where(F.col("o_orderkey") % 100 == 0).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    source = updates.unionByName(inserts)
+    merged = R.merge_upsert(orders, source, "o_orderkey")
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor("o_totalprice").cast("bigint")).alias("sum_floor_price"),
+    )
+
+
+@register(
+    "doc_lang_components",
+    oracle="""
+    WITH RECURSIVE
+    edges AS (
+      SELECT d1.doc_id AS a, d2.doc_id AS b
+      FROM documents d1
+      JOIN documents d2 ON d2.doc_id = d1.doc_id + 1 AND d2.lang = d1.lang
+    ),
+    sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+    cc(node, label) AS (
+      SELECT a AS node, a AS label FROM sym
+      UNION
+      SELECT s.b AS node, c.label
+      FROM cc c JOIN sym s ON s.a = c.node
+      WHERE c.label < s.b
+    ),
+    resolved AS (SELECT node, MIN(label) AS component FROM cc GROUP BY node),
+    labeled AS (
+      SELECT d.doc_id, COALESCE(r.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN resolved r ON r.node = d.doc_id
+    )
+    SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM labeled GROUP BY component
+    """,
+    doc="Connected-components dedup clustering "
+        "(operators.graph.connected_components): pairs -> transitive "
+        "clusters via min-label propagation + pointer jumping, O(log d) "
+        "rounds. Edge fixture: consecutive doc_ids sharing a lang (runs "
+        "-> chain components, the propagation worst case). Oracle is a "
+        "DuckDB recursive CTE; singletons keep their own id.",
+    tags=("graph", "dedup"),
+)
+def doc_lang_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    nxt = docs.select(
+        (F.col("doc_id") - 1).alias("prev_id"),
+        F.col("doc_id").alias("dst"),
+        F.col("lang").alias("lang2"),
+    )
+    edges = docs.join(
+        nxt,
+        (docs["doc_id"] == nxt["prev_id"]) & (docs["lang"] == nxt["lang2"]),
+    ).select(F.col("doc_id").alias("src"), "dst")
+    comp = connected_components(edges)
+    labeled = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .join(comp, F.col("doc_id") == F.col("node"), "left")
+        .select(
+            "doc_id", F.coalesce("component", F.col("doc_id")).alias("component")
+        )
+    )
+    return labeled.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))

@@ -1,0 +1,42 @@
+"""Unit tests for operators.graph.connected_components: chains (the
+propagation worst case), stars, multi-component graphs, direction /
+self-loop / duplicate-edge insensitivity."""
+
+from orx_surgical_spark.operators.graph import connected_components
+
+
+def _cc(spark, pairs, **kw):
+    edges = spark.createDataFrame(pairs, ["src", "dst"])
+    rows = connected_components(edges, **kw).collect()
+    return {r["node"]: r["component"] for r in rows}
+
+
+def test_chain_collapses_to_min(spark):
+    # 0-1-2-...-9: worst case for plain propagation; pointer jumping
+    # must still converge well inside max_iter.
+    got = _cc(spark, [(i, i + 1) for i in range(9)])
+    assert got == {i: 0 for i in range(10)}
+
+
+def test_two_components_and_star(spark):
+    pairs = [(1, 2), (2, 3), (10, 11), (10, 12), (10, 13)]
+    got = _cc(spark, pairs)
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10}
+
+
+def test_direction_selfloop_duplicates_ignored(spark):
+    pairs = [(5, 4), (4, 5), (4, 4), (4, 3), (3, 4)]
+    got = _cc(spark, pairs)
+    assert got == {3: 3, 4: 3, 5: 3}
+
+
+def test_isolated_nodes_absent(spark):
+    got = _cc(spark, [(7, 8)])
+    assert set(got) == {7, 8}
+
+
+def test_chain_converges_with_tight_iteration_budget(spark):
+    # log2(diameter 15) ~ 4 rounds of min+jump; 8 is generous, while a
+    # plain-propagation implementation would need 15.
+    got = _cc(spark, [(i, i + 1) for i in range(15)], max_iter=8)
+    assert got == {i: 0 for i in range(16)}
