@@ -24,9 +24,20 @@ def main() -> None:
         sf = -1.0
 
     from orx_surgical_spark.queries.catalog import REGISTRY
-    from orx_surgical_spark.session import get_spark
+    from orx_surgical_spark.session import get_spark, shuffle_partitions_for_bytes
 
-    spark = get_spark(app_name="orx-surgical-bench")
+    # Shuffle width follows input volume (see shuffle_partitions_for_bytes):
+    # constant-width shuffles either drown small inputs in task overhead
+    # or starve big ones.
+    input_bytes = sum(
+        os.path.getsize(os.path.join(sf_dir, f))
+        for f in os.listdir(sf_dir)
+        if f.endswith(".parquet")
+    ) if os.path.isdir(sf_dir) else 0
+    spark = get_spark(
+        app_name="orx-surgical-bench",
+        shuffle_partitions=shuffle_partitions_for_bytes(input_bytes),
+    )
 
     bench_queries = {n: q for n, q in sorted(REGISTRY.items()) if q.bench}
 

@@ -15,6 +15,22 @@ import os
 from pyspark.sql import SparkSession
 
 
+def shuffle_partitions_for_bytes(input_bytes: int, floor: int = 4) -> int:
+    """Size ``spark.sql.shuffle.partitions`` to the data, not a constant.
+
+    Policy: one shuffle partition per ~32 MB of (compressed) input,
+    clamped to [floor, 8192]. At bench scale (tens of MB) this collapses
+    to a handful of partitions — scheduling 32+ tiny reduce tasks costs
+    more than the work itself (measured ~30% of bench wall). At 100 TB
+    the same rule lands near Spark's ~128 MB-uncompressed-per-partition
+    sweet spot and AQE coalescing trims the remainder. CPU-bound narrow
+    stages (hashing, shingling) are widened independently via
+    ``sources.readers.ensure_min_partitions``, so a small shuffle count
+    never serializes them.
+    """
+    return max(floor, min(8192, input_bytes // (32 << 20) + floor))
+
+
 def get_spark(
     app_name: str = "orx-surgical-spark",
     master: str | None = None,
