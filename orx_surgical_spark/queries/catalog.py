@@ -63,6 +63,7 @@ def register(
 def _load_all() -> None:
     # Import for registration side effects.
     from orx_surgical_spark.queries import (  # noqa: F401
+        analytics_queries,
         dedup_queries,
         encoder_queries,
         model_queries,
