@@ -100,3 +100,76 @@ def connected_components(
             break
 
     return labels.select("node", F.col("label").alias("component"))
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    n_iter: int = 10,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge DataFrame; returns
+    ``(node, rank)`` with ranks summing to 1 (within float error).
+
+    Each iteration is the standard power step
+
+        rank(v) <- (1-d)/N + d * (sum over in-neighbours u of
+                   rank(u)/out_deg(u)  +  dangling_mass / N)
+
+    as two DataFrame ops: one equi-join of the rank table with the edge
+    list on the source key, one hash aggregate on the destination key.
+    Dangling nodes (no out-edges) spread their mass uniformly — the
+    aggregate of their ranks is a scalar broadcast, not a shuffle. The
+    edge list re-partitions once on ``src`` up front so every
+    iteration's join reuses that partitioning; per-round
+    ``localCheckpoint`` truncates the growing iterative lineage (swap
+    for ``checkpoint`` on a durable dir when running on a cluster).
+
+    Scale: state per round is one (node, rank) row per node — O(V) —
+    and one shuffle keyed on node id; edge skew (celebrity nodes) only
+    affects the aggregate side, which partial-aggregates map-side.
+    """
+    e = (
+        edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
+        .distinct()
+        .repartition("e_src")
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("e_src").alias("node"))
+        .union(e.select("e_dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_total = nodes.count()
+    out_deg = e.groupBy("e_src").agg(F.count(F.lit(1)).alias("out_deg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_total))
+
+    for _ in range(n_iter):
+        with_deg = ranks.join(
+            out_deg, ranks["node"] == out_deg["e_src"], "left"
+        ).select("node", "rank", "out_deg")
+        dangling = (
+            with_deg.where(F.col("out_deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .first()[0]
+        )
+        contrib = (
+            e.join(with_deg.where(F.col("out_deg").isNotNull()),
+                   e["e_src"] == F.col("node"))
+            .groupBy(F.col("e_dst").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("c"))
+        )
+        base = (1.0 - damping) / n_total + damping * dangling / n_total
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.lit(damping) * F.coalesce("c", F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from orx_surgical_spark.operators import relational as R
-from orx_surgical_spark.operators.graph import connected_components
+from orx_surgical_spark.operators.graph import connected_components, pagerank
 from orx_surgical_spark.queries.catalog import register
 from orx_surgical_spark.sources import load_table
 
@@ -330,3 +330,35 @@ def doc_lang_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return labeled.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
+
+
+@register(
+    "doc_graph_pagerank",
+    oracle=None,  # iterative algorithm; NumPy-verified in tests/test_graph.py
+    doc="PageRank (operators.graph.pagerank, 10 power iterations, "
+        "d=0.85) over the directed doc-succession graph (doc_id -> next "
+        "doc_id sharing a lang). Top 20 nodes by rank; ranks rounded and "
+        "tie-broken on node id so the row set is deterministic. The "
+        "per-iteration plan is one key-reused join + one hash aggregate "
+        "(see operator docstring for the 100 TB shape); correctness is "
+        "pinned by the NumPy power-iteration cross-check in "
+        "tests/test_graph.py.",
+    tags=("graph", "pagerank"),
+)
+def doc_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    nxt = docs.select(
+        (F.col("doc_id") - 1).alias("prev_id"),
+        F.col("doc_id").alias("dst"),
+        F.col("lang").alias("lang2"),
+    )
+    edges = docs.join(
+        nxt,
+        (docs["doc_id"] == nxt["prev_id"]) & (docs["lang"] == nxt["lang2"]),
+    ).select(F.col("doc_id").alias("src"), "dst")
+    ranks = pagerank(edges, n_iter=10)
+    return (
+        ranks.select("node", F.round("rank", 8).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("node"))
+        .limit(20)
+    )

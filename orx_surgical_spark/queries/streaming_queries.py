@@ -98,3 +98,63 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.run_available_now(
         S.stateful_user_totals(stream), output_mode="update"
     )
+
+
+@register(
+    "stream_interval_join",
+    oracle="""
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           CAST(FLOOR((EPOCH(p.ts) - EPOCH(c.ts)) / 60) AS BIGINT)
+             AS gap_minutes
+    FROM events c JOIN events p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+    doc="Stream-stream interval join (streaming.ops.interval_join): "
+        "purchases within one hour after a click by the same user, both "
+        "sides watermarked so join state is bounded by the event-time "
+        "horizon, run availableNow — the result must equal the batch "
+        "interval join.",
+    tags=("streaming", "join"),
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    stream = S.read_events_stream(spark, sf_dir)
+    clicks = stream.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("l_ts")
+    )
+    purchases = stream.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("r_ts")
+    )
+    joined = S.interval_join(clicks, purchases, max_gap="1 hour")
+    out = joined.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.floor(
+            (F.unix_micros("r_ts") - F.unix_micros("l_ts")) / F.lit(60_000_000)
+        ).alias("gap_minutes"),
+    )
+    return S.run_available_now(out, output_mode="append")
+
+
+@register(
+    "stream_dedup_watermark",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    doc="Streaming deduplication with bounded state "
+        "(dropDuplicatesWithinWatermark): first (user, type) occurrence "
+        "wins, key state evicted past the watermark horizon; over the "
+        "availableNow backlog with a horizon wider than the data span "
+        "this equals batch DISTINCT.",
+    tags=("streaming", "dedup"),
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = S.read_events_stream(spark, sf_dir)
+    deduped = S.dedup_within_watermark(stream, ["user_id", "event_type"])
+    return S.run_available_now(
+        deduped.select("user_id", "event_type"), output_mode="append"
+    )

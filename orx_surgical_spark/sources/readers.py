@@ -97,6 +97,41 @@ def write_parquet(df: DataFrame, path: str, partition_by: Sequence[str] = ()) ->
     writer.parquet(path)
 
 
+def write_jsonl(df: DataFrame, path: str) -> None:
+    """JSON-lines sink — the interchange format of LLM-corpus tooling.
+    One JSON object per line; compression and sharding come from Spark's
+    file committer (one file per partition)."""
+    df.write.mode("overwrite").json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON-lines source. Always pass ``schema`` in production: without
+    it Spark runs a full inference pre-pass over the data (double read),
+    and inferred types drift with content (ints become doubles when a
+    float sneaks in). Schema-on-read here mirrors the CSV reader's
+    explicit-StructType policy (SURVEY §1.4)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_orc(df: DataFrame, path: str, partition_by: Sequence[str] = ()) -> None:
+    """ORC sink — same columnar guarantees as parquet (predicate
+    pushdown, column pruning, dictionary/RLE encoding) via Spark's
+    native vectorized ORC support; the interchange choice when the
+    downstream is Hive/Trino-flavored."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source (schema self-describing, vectorized reader)."""
+    return spark.read.orc(path)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

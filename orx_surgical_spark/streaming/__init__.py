@@ -9,6 +9,8 @@ deterministic and oracle-checkable against the batch engine.
 """
 
 from orx_surgical_spark.streaming.ops import (
+    dedup_within_watermark,
+    interval_join,
     read_events_stream,
     run_available_now,
     session_counts,
@@ -17,6 +19,8 @@ from orx_surgical_spark.streaming.ops import (
 )
 
 __all__ = [
+    "dedup_within_watermark",
+    "interval_join",
     "read_events_stream",
     "run_available_now",
     "session_counts",

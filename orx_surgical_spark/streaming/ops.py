@@ -132,6 +132,45 @@ def stateful_user_totals(stream: DataFrame) -> DataFrame:
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "l_ts",
+    right_ts: str = "r_ts",
+    max_gap: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval condition:
+    right rows within ``[left.ts, left.ts + max_gap]`` for the same key.
+
+    Both sides carry watermarks, so the join state (buffered unmatched
+    rows) is bounded: a left row can be dropped once the right watermark
+    passes ``left.ts + max_gap``, and vice versa — the textbook bounded
+    stream-stream join. Callers rename ts columns apart first (streaming
+    joins reject ambiguous names).
+    """
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    return l.join(
+        r,
+        (l[key] == r[key])
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {max_gap}")),
+    ).drop(r[key])
+
+
+def dedup_within_watermark(
+    stream: DataFrame, keys: list[str], ts: str = "ts", watermark: str = "30 days"
+) -> DataFrame:
+    """Streaming deduplication: first row per key wins; duplicate keys
+    arriving within the watermark horizon are suppressed, and key state
+    older than the watermark is evicted (so the state store holds one
+    entry per key per horizon, not per all time — the unbounded-state
+    fix ``dropDuplicates`` alone would hit on an infinite stream)."""
+    return stream.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def run_available_now(
     df: DataFrame, output_mode: str = "complete", name: str | None = None
 ) -> DataFrame:

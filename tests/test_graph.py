@@ -1,8 +1,12 @@
-"""Unit tests for operators.graph.connected_components: chains (the
-propagation worst case), stars, multi-component graphs, direction /
-self-loop / duplicate-edge insensitivity."""
+"""Unit tests for operators.graph: connected_components (chains — the
+propagation worst case, stars, multi-component graphs, direction /
+self-loop / duplicate-edge insensitivity) and pagerank (NumPy
+power-iteration cross-check, dangling-node mass conservation)."""
 
-from orx_surgical_spark.operators.graph import connected_components
+import numpy as np
+import pytest
+
+from orx_surgical_spark.operators.graph import connected_components, pagerank
 
 
 def _cc(spark, pairs, **kw):
@@ -40,3 +44,40 @@ def test_chain_converges_with_tight_iteration_budget(spark):
     # plain-propagation implementation would need 15.
     got = _cc(spark, [(i, i + 1) for i in range(15)], max_iter=8)
     assert got == {i: 0 for i in range(16)}
+
+
+def _np_pagerank(pairs, damping=0.85, n_iter=10):
+    nodes = sorted({v for p in pairs for v in p})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out = np.zeros(n)
+    for s, _ in set(pairs):
+        out[idx[s]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        contrib = np.zeros(n)
+        for s, d in set(pairs):
+            contrib[idx[d]] += r[idx[s]] / out[idx[s]]
+        dangling = r[out == 0].sum()
+        r = (1 - damping) / n + damping * (contrib + dangling / n)
+    return {v: r[idx[v]] for v in nodes}
+
+
+@pytest.mark.parametrize(
+    "pairs",
+    [
+        [(1, 2), (2, 3), (3, 1)],                       # cycle: uniform ranks
+        [(1, 2), (1, 3), (1, 4), (2, 1)],               # hub with backlink
+        [(1, 2), (2, 3)],                               # chain with dangling sink
+        [(1, 3), (2, 3), (3, 4), (5, 3), (4, 5), (1, 2)],
+    ],
+)
+def test_pagerank_matches_numpy_power_iteration(spark, pairs):
+    edges = spark.createDataFrame(pairs, ["src", "dst"])
+    got = {r["node"]: r["rank"] for r in pagerank(edges, n_iter=10).collect()}
+    want = _np_pagerank(pairs, n_iter=10)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+    # Probability mass is conserved (dangling redistribution included).
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)

@@ -6,7 +6,13 @@ from pyspark.sql import functions as F
 from orx_surgical_spark import models as M
 from orx_surgical_spark.plans import plan_str
 from orx_surgical_spark.sources import load_table
-from orx_surgical_spark.sources.readers import write_parquet
+from orx_surgical_spark.sources.readers import (
+    read_jsonl,
+    read_orc,
+    write_jsonl,
+    write_orc,
+    write_parquet,
+)
 
 
 def test_parquet_roundtrip_preserves_rows(spark, sf_dir, tmp_path):
@@ -33,6 +39,32 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan and "o_year" in plan.split("PartitionFilters")[1].split("\n")[0]
     expected = orders.filter(F.col("o_year") == 1995).count()
     assert back.count() == expected
+
+
+def test_jsonl_roundtrip_with_declared_schema(spark, sf_dir, tmp_path):
+    """JSONL sink/source: declared-schema read returns the identical
+    relation (modulo JSON's null-vs-missing, absent in this data)."""
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, path)
+    back = read_jsonl(spark, path, schema=docs.schema)
+    assert dict(back.dtypes) == dict(docs.dtypes)
+    assert back.exceptAll(docs).count() == 0
+    assert docs.exceptAll(back).count() == 0
+
+
+def test_orc_roundtrip_and_predicate_pushdown(spark, sf_dir, tmp_path):
+    """ORC sink/source round-trips exactly and pushes filters into the
+    vectorized scan like parquet does."""
+    orders = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_orc")
+    write_orc(orders, path)
+    back = read_orc(spark, path)
+    assert back.exceptAll(orders).count() == 0
+    assert orders.exceptAll(back).count() == 0
+    filtered = back.filter(F.col("o_orderkey") == 42).select("o_orderkey")
+    plan = plan_str(filtered)
+    assert "PushedFilters" in plan and "o_orderkey" in plan.split("PushedFilters")[1].split("]")[0]
 
 
 def test_model_save_load_same_predictions(spark, sf_dir, tmp_path):

@@ -35,3 +35,29 @@ def test_stream_source_schema_matches_batch(spark, sf_dir):
     batch = load_table(spark, sf_dir, "events")
     assert dict(stream.dtypes) == dict(batch.dtypes)
     assert stream.isStreaming
+
+
+def test_dedup_within_watermark_drops_true_duplicates(spark, tmp_path):
+    # The synthetic events table has no duplicate keys, so the catalog
+    # oracle only pins the distinct-set semantics; this exercises actual
+    # suppression: 3 rows per key arriving in one availableNow batch.
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (k, base + dt.timedelta(minutes=m), f"v{k}-{m}")
+        for k in range(5)
+        for m in range(3)
+    ]
+    src = str(tmp_path / "dups")
+    spark.createDataFrame(rows, ["key", "ts", "payload"]).write.parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    deduped = S.run_available_now(
+        S.dedup_within_watermark(stream, ["key"], watermark="1 hour"),
+        output_mode="append",
+    )
+    got = deduped.groupBy("key").count().collect()
+    assert len(got) == 5
+    assert all(r["count"] == 1 for r in got)
