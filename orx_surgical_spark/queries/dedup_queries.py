@@ -238,3 +238,121 @@ def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.5)
     )
     return verified
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus curation (the flagship training-data pipeline)
+# ---------------------------------------------------------------------------
+
+_ELIGIBLE_BANDS_CTE = f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, toks FROM (
+        SELECT doc_id, {_TOKS} AS toks FROM documents
+      ) WHERE len(toks) >= 10
+    ), sh AS (
+      SELECT doc_id, {_SHINGLES} AS sh FROM t
+    ), s AS (
+      SELECT doc_id,
+         {_SIG_COLS}
+      FROM sh
+    ), bands AS (
+      {_BAND_ROWS}
+    )
+"""
+
+
+@register(
+    "corpus_curation_summary",
+    oracle=_ELIGIBLE_BANDS_CTE + f"""
+    , cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a
+      JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+      WHERE a.doc_id < b.doc_id
+    ), verified AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN sh x ON c.id_a = x.doc_id
+      JOIN sh y ON c.id_b = y.doc_id
+      WHERE CASE WHEN len(list_distinct(list_concat(x.sh, y.sh))) = 0 THEN 0.0
+                 ELSE len(list_intersect(x.sh, y.sh)) * 1.0
+                      / len(list_distinct(list_concat(x.sh, y.sh)))
+            END >= 0.5
+    ), sym AS (
+      SELECT id_a AS a, id_b AS b FROM verified
+      UNION SELECT id_b, id_a FROM verified
+    ), cc(node, label) AS (
+      SELECT a, a FROM sym
+      UNION
+      SELECT s.b, c.label FROM cc c JOIN sym s ON s.a = c.node
+      WHERE c.label < s.b
+    ), resolved AS (
+      SELECT node, MIN(label) AS component FROM cc GROUP BY node
+    ), kept AS (
+      SELECT d.doc_id, d.lang, d.n_chars,
+             CASE WHEN r.component IS NULL OR r.component = d.doc_id
+                  THEN 1 ELSE 0 END AS keep
+      FROM documents d
+      JOIN t ON t.doc_id = d.doc_id
+      LEFT JOIN resolved r ON r.node = d.doc_id
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_eligible,
+           CAST(SUM(keep) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) - SUM(keep) AS BIGINT) AS n_dup_dropped,
+           CAST(SUM(CASE WHEN keep = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+             AS kept_chars
+    FROM kept GROUP BY lang
+    """,
+    doc="End-to-end corpus curation, the pipeline an LLM-data team runs "
+        "before training: token-count eligibility filter -> MinHash-LSH "
+        "candidate pairs -> exact-Jaccard verification (>= 0.5, "
+        "candidates only) -> connected-components duplicate clustering "
+        "(operators.graph) -> keep the min-id canonical doc per cluster "
+        "-> per-language kept/dropped summary. Every stage is the "
+        "at-scale shape: LSH instead of all-pairs, component labels "
+        "instead of pairwise deletes, one aggregate at the end; the "
+        "DuckDB oracle replays the identical pipeline (recursive CTE "
+        "for the clustering) so the whole composition is hash-checked.",
+    tags=("dedup", "pipeline", "curation"),
+)
+def corpus_curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orx_surgical_spark.operators.graph import connected_components
+    from orx_surgical_spark.operators.text import shingles, tokens
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    eligible = docs.where(F.size(tokens("text")) >= 10)
+    cands = D.lsh_candidate_pairs(eligible)
+    sh = eligible.select(F.col("doc_id"), shingles(tokens("text"), 3).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        cands.join(a, on="id_a").join(b, on="id_b")
+        .filter(D.jaccard(F.col("sh_a"), F.col("sh_b")) >= 0.5)
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(
+        verified.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    kept = (
+        eligible.join(comp, eligible["doc_id"] == comp["node"], "left")
+        .select(
+            "lang",
+            "n_chars",
+            F.when(
+                F.col("component").isNull()
+                | (F.col("component") == F.col("doc_id")),
+                1,
+            )
+            .otherwise(0)
+            .alias("keep"),
+        )
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_eligible"),
+        F.sum("keep").cast("bigint").alias("n_kept"),
+        (F.count(F.lit(1)) - F.sum("keep")).cast("bigint").alias("n_dup_dropped"),
+        F.sum(F.when(F.col("keep") == 1, F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_chars"),
+    )
