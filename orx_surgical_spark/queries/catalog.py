@@ -74,6 +74,7 @@ def _load_all() -> None:
         streaming_queries,
         temporal_queries,
         text_queries,
+        tpch_queries,
     )
 
 
