@@ -38,6 +38,14 @@ def main() -> None:
         app_name="orx-surgical-bench",
         shuffle_partitions=shuffle_partitions_for_bytes(input_bytes),
     )
+    # AQE follows data volume too: its per-stage re-optimization costs
+    # driver round trips that dominate sub-second queries, while static
+    # planning already picks broadcast joins here (input sizes are known
+    # at plan time and far below the broadcast threshold). Above ~1 GB,
+    # runtime re-planning (skew splits, dynamic broadcast, coalescing)
+    # pays for itself — measured ~15% of bench wall at sf0.1.
+    if input_bytes < (1 << 30):
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
 
     bench_queries = {n: q for n, q in sorted(REGISTRY.items()) if q.bench}
 

@@ -45,7 +45,7 @@ _TOPK_CTE = """
     tags=("similarity",),
 )
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 10)
     return S.cosine_topk(emb, queries, k=5)
 
@@ -74,7 +74,7 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "knn"),
 )
 def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 10)
     return S.knn_label_vote(emb, queries, k=5)
 
@@ -88,7 +88,7 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "ann", "mllib"),
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 10)
     return S.ann_lsh_topk(emb, queries, k=5)
 
@@ -155,6 +155,6 @@ def embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "ann", "ivf"),
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 10)
     return S.ann_ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=2)
