@@ -71,6 +71,7 @@ def _load_all() -> None:
         olap_queries,
         relational_queries,
         similarity_queries,
+        stats_queries,
         streaming_queries,
         temporal_queries,
         text_queries,
