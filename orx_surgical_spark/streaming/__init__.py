@@ -15,6 +15,7 @@ from orx_surgical_spark.streaming.ops import (
     run_available_now,
     session_counts,
     stateful_user_totals,
+    upsert_sink,
     windowed_counts,
 )
 
@@ -25,5 +26,6 @@ __all__ = [
     "run_available_now",
     "session_counts",
     "stateful_user_totals",
+    "upsert_sink",
     "windowed_counts",
 ]

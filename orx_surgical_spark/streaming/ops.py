@@ -171,6 +171,58 @@ def dedup_within_watermark(
     return stream.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def upsert_sink(
+    stream: DataFrame,
+    path: str,
+    key: str,
+    order_col: str | None = None,
+) -> "pyspark.sql.streaming.StreamingQuery":  # noqa: F821
+    """``foreachBatch`` upsert sink: each micro-batch is MERGEd into the
+    parquet target (batch rows win on key collision, new keys insert).
+
+    Within a batch the latest row per key wins (``order_col`` DESC, the
+    CDC compaction rule), so replaying a batch is idempotent. The
+    local-parquet swap (write new version, atomic directory rename)
+    stands in for what a table format does transactionally — on a real
+    lake the body of ``process`` is a Delta/Iceberg ``MERGE INTO``
+    inside one commit, same logical plan, and the rename disappears.
+    Started with ``availableNow``; caller awaits termination.
+    """
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    from orx_surgical_spark.operators.relational import merge_upsert
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        latest = batch
+        if order_col is not None:
+            w = Window.partitionBy(key).orderBy(F.desc(order_col))
+            latest = (
+                batch.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        if os.path.exists(path):
+            merged = merge_upsert(spark.read.parquet(path), latest, key)
+        else:
+            merged = latest
+        staged = f"{path}__stage_{batch_id}"
+        merged.write.mode("overwrite").parquet(staged)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.rename(staged, path)
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{path}__checkpoint")
+        .start()
+    )
+
+
 def run_available_now(
     df: DataFrame, output_mode: str = "complete", name: str | None = None
 ) -> DataFrame:

@@ -61,3 +61,34 @@ def test_dedup_within_watermark_drops_true_duplicates(spark, tmp_path):
     got = deduped.groupBy("key").count().collect()
     assert len(got) == 5
     assert all(r["count"] == 1 for r in got)
+
+
+def test_upsert_sink_merges_batches_into_parquet(spark, tmp_path):
+    """foreachBatch MERGE sink: stream rows upsert into the parquet
+    target — updates win on key collision, inserts append, within-batch
+    duplicates collapse to the latest by order_col."""
+    import datetime as dt
+
+    target = str(tmp_path / "target")
+    base = dt.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [(1, "a", base), (2, "b", base), (3, "c", base)], ["key", "val", "ts"]
+    ).write.parquet(target)
+
+    src = str(tmp_path / "updates")
+    spark.createDataFrame(
+        [
+            (2, "b-old", base + dt.timedelta(minutes=1)),
+            (2, "b-new", base + dt.timedelta(minutes=2)),  # later wins
+            (4, "d", base + dt.timedelta(minutes=1)),      # insert
+        ],
+        ["key", "val", "ts"],
+    ).write.parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = S.upsert_sink(stream, target, key="key", order_col="ts")
+    q.awaitTermination()
+
+    got = {r["key"]: r["val"] for r in spark.read.parquet(target).collect()}
+    assert got == {1: "a", 2: "b-new", 3: "c", 4: "d"}
