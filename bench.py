@@ -64,7 +64,7 @@ def main() -> None:
     # Best-of-2 per query: the second run reuses compiled codegen and
     # warmed file/footer caches, so min-of-runs reports steady-state
     # throughput with less scheduler noise.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     t_all = time.perf_counter()
     for name, q in bench_queries.items():

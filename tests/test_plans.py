@@ -79,3 +79,46 @@ def test_metadata_only_media_query_prunes_payload(spark, sf_dir):
 def test_topk_uses_take_ordered(spark, sf_dir):
     plan = plan_str(REGISTRY["top_k_orders"].fn(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan  # no full sort for sort+limit
+
+
+def test_latest_event_uses_window_group_limit(spark, sf_dir):
+    """CDC compaction's rn=1 filter must plan as WindowGroupLimit (keep
+    each partition's current winner), not a full per-partition sort +
+    filter — the difference between O(k) and O(n log n) state at scale."""
+    plan = plan_str(REGISTRY["latest_event_per_user"].fn(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+
+
+def test_topk_queries_use_window_group_limit(spark, sf_dir):
+    plan = plan_str(REGISTRY["cosine_topk"].fn(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+
+
+def test_grouping_sets_single_expand_single_shuffle(spark, sf_dir):
+    """GROUPING SETS/CUBE must plan as one Expand + one hash aggregate
+    (one shuffle), never one scan per grouping."""
+    for name in ("grouping_sets_revenue", "cube_order_stats"):
+        plan = plan_str(REGISTRY[name].fn(spark, sf_dir), "simple")
+        assert plan.count("Expand") == 1
+        assert plan.count("FileScan parquet") == 1, name
+
+
+def test_date_spine_joins_broadcast(spark, sf_dir):
+    """The spine x types x daily joins are all on tiny inputs; none may
+    degenerate into a SortMergeJoin (which would shuffle the fact agg)."""
+    plan = plan_str(REGISTRY["date_spine_fill"].fn(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+
+
+def test_q18_aggregates_before_joining(spark, sf_dir):
+    """Q18's HAVING aggregate must sit below the joins in the plan tree
+    (aggregate-then-join), so join inputs are pre-shrunk."""
+    plan = plan_str(REGISTRY["q18_large_volume_orders"].fn(spark, sf_dir), "simple")
+    # In the physical tree the lineitem aggregate appears deeper than
+    # (indented under) the joins; a cheap structural proxy: the plan has
+    # exactly one aggregate pair below the last join line.
+    join_depth = min(
+        plan.index(m) for m in ("BroadcastHashJoin", "SortMergeJoin")
+        if m in plan
+    )
+    assert "HashAggregate" in plan[join_depth:]
