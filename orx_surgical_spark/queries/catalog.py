@@ -75,6 +75,7 @@ def _load_all() -> None:
         streaming_queries,
         temporal_queries,
         text_queries,
+        timeseries_queries,
         tpch_queries,
     )
 
