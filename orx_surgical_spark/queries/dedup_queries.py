@@ -314,6 +314,7 @@ _ELIGIBLE_BANDS_CTE = f"""
         "instead of pairwise deletes, one aggregate at the end; the "
         "DuckDB oracle replays the identical pipeline (recursive CTE "
         "for the clustering) so the whole composition is hash-checked.",
+    bench=True,
     tags=("dedup", "pipeline", "curation"),
 )
 def corpus_curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
