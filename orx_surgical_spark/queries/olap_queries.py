@@ -362,3 +362,50 @@ def doc_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), F.asc("node"))
         .limit(20)
     )
+
+
+@register(
+    "full_outer_daily_recon",
+    oracle="""
+    WITH od AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n_orders
+      FROM orders GROUP BY 1
+    ), sd AS (
+      SELECT CAST(l_shipdate AS DATE) AS d, COUNT(*) AS n_ship_lines
+      FROM lineitem GROUP BY 1
+    )
+    SELECT STRFTIME(COALESCE(od.d, sd.d), '%Y-%m-%d') AS d,
+           CAST(COALESCE(od.n_orders, 0) AS BIGINT) AS n_orders,
+           CAST(COALESCE(sd.n_ship_lines, 0) AS BIGINT) AS n_ship_lines,
+           CASE WHEN od.d IS NULL THEN 'ship_only'
+                WHEN sd.d IS NULL THEN 'order_only'
+                ELSE 'both' END AS presence
+    FROM od FULL OUTER JOIN sd ON sd.d = od.d
+    """,
+    doc="FULL OUTER join reconciliation: daily order counts vs daily "
+        "shipment-line counts, keeping unmatched days from either side "
+        "with a presence tag — the audit/backfill-detection shape. Both "
+        "inputs are pre-aggregated to day grain BEFORE the join, so the "
+        "outer join runs on two tiny day tables, not the facts; the "
+        "plan is two hash aggregates + one merge of day keys.",
+    tags=("C", "outer-join"),
+)
+def full_outer_daily_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    od = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    sd = li.groupBy(F.to_date("l_shipdate").alias("sd_d")).agg(
+        F.count(F.lit(1)).alias("n_ship_lines")
+    )
+    joined = od.join(sd, od["d"] == sd["sd_d"], "full_outer")
+    return joined.select(
+        F.date_format(F.coalesce("d", "sd_d"), "yyyy-MM-dd").alias("d"),
+        F.coalesce("n_orders", F.lit(0)).cast("bigint").alias("n_orders"),
+        F.coalesce("n_ship_lines", F.lit(0)).cast("bigint").alias("n_ship_lines"),
+        F.when(F.col("d").isNull(), "ship_only")
+        .when(F.col("sd_d").isNull(), "order_only")
+        .otherwise("both")
+        .alias("presence"),
+    )
