@@ -162,3 +162,47 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "dq_orders_report",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS o_orderkey_null_violations,
+           CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+             AS o_orderkey_dup_violations,
+           CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                           OR o_orderstatus IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS o_orderstatus_outside_set_violations,
+           CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS o_totalprice_out_of_range_violations,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+             AS o_custkey_orphans_violations
+    FROM orders
+    """,
+    doc="Declarative data-quality gate (functions/quality.py, "
+        "'Deequ-lite'): not-null, uniqueness, value-set, range, and "
+        "referential-integrity rules over orders compiled into ONE "
+        "aggregate pass plus one broadcast anti-join for the foreign "
+        "key — a constant number of scans however many rules run, the "
+        "property that lets a 100 TB pipeline run its checks every "
+        "load.",
+    tags=("quality", "constraints"),
+)
+def dq_orders_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orx_surgical_spark.functions import quality as Q
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return Q.check_constraints(
+        orders,
+        Q.not_null("o_orderkey"),
+        Q.unique("o_orderkey"),
+        Q.in_set("o_orderstatus", ["O", "F", "P"]),
+        Q.in_range("o_totalprice", lo=0.0),
+        Q.foreign_key("o_custkey", customer, "c_custkey"),
+    )
