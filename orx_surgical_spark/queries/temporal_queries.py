@@ -76,3 +76,79 @@ def range_join_close_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return range_join_pairs(
         ev, key="user_id", ts="ts", id_col="event_id", max_gap_seconds=300
     )
+
+
+@register(
+    "cogroup_asof_merge",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT user_id, ts, MAX(value) AS click_value
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, ts
+    )
+    SELECT p.event_id, ROUND(c.click_value, 2) AS asof_click_value
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    doc="The SAME as-of semantics as asof_purchase_prior_click, executed "
+        "through the cogrouped-pandas escape hatch: "
+        "df.groupBy(key).cogroup(other.groupBy(key)).applyInPandas with "
+        "pandas.merge_asof per user — the API tier for per-group logic "
+        "built-in expressions can't express (and the proof the Arrow "
+        "path reproduces the JVM result bit-for-bit, since both share "
+        "one DuckDB ASOF oracle). Each side shuffles once on the key; "
+        "groups stream through Arrow batches, never the driver.",
+    tags=("temporal", "asof", "cogroup"),
+)
+def cogroup_asof_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    # The right ts is renamed apart: both sides deriving "ts" from the
+    # same scan confuses cogroup's column resolution (the shared
+    # attribute is pruned from the right frame), and pandas merge_asof
+    # wants distinct names anyway.
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+        .select("user_id", F.col("ts").alias("click_ts"), "click_value")
+    )
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        # A side with no rows for this key arrives as a 0-column frame.
+        if left.empty:
+            return pd.DataFrame(
+                {"event_id": pd.Series(dtype="int64"),
+                 "asof_click_value": pd.Series(dtype="float64")}
+            )
+        left = left.sort_values("ts")
+        if right.empty:
+            out = left[["event_id"]].copy()
+            out["asof_click_value"] = float("nan")
+            return out
+        right = right.sort_values("click_ts")
+        merged = pd.merge_asof(
+            left,
+            right[["click_ts", "click_value"]],
+            left_on="ts",
+            right_on="click_ts",
+            direction="backward",
+        )
+        return merged[["event_id", "click_value"]].rename(
+            columns={"click_value": "asof_click_value"}
+        )
+
+    out = (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(merge, "event_id bigint, asof_click_value double")
+    )
+    return out.select(
+        "event_id", F.round("asof_click_value", 2).alias("asof_click_value")
+    )
