@@ -152,3 +152,59 @@ def cogroup_asof_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", F.round("asof_click_value", 2).alias("asof_click_value")
     )
+
+
+@register(
+    "grouped_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT user_id, MEDIAN(value) AS med FROM events GROUP BY user_id
+    ), dev AS (
+      SELECT e.user_id, e.value, ABS(e.value - m.med) AS d, m.med
+      FROM events e JOIN med m ON m.user_id = e.user_id
+    ), mad AS (
+      SELECT user_id, MEDIAN(d) AS mad FROM dev GROUP BY user_id
+    )
+    SELECT d.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(ANY_VALUE(d.med), 6) AS med,
+           ROUND(ANY_VALUE(a.mad), 6) AS mad,
+           CAST(SUM(CASE WHEN d.d > 3 * a.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+    FROM dev d JOIN mad a ON a.user_id = d.user_id
+    GROUP BY d.user_id
+    """,
+    doc="Grouped-map applyInPandas (the plain grouped pandas tier, "
+        "complementing the stateful and cogrouped variants): per-user "
+        "robust outlier stats — median, MAD, and the count of events "
+        "beyond 3 MADs — computed with NumPy per group. Median/MAD need "
+        "the group's full value set (not mergeable sketches), which is "
+        "exactly when the Arrow grouped-map escape hatch earns its "
+        "shuffle; each group streams through one Arrow batch.",
+    tags=("pandas", "outliers"),
+)
+def grouped_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"].to_numpy()
+        med = float(np.median(v))
+        d = np.abs(v - med)
+        mad = float(np.median(d))
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(v)],
+                "med": [round(med, 6)],
+                "mad": [round(mad, 6)],
+                "n_outliers": [int((d > 3 * mad).sum())],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        stats,
+        "user_id bigint, n_events bigint, med double, mad double, n_outliers bigint",
+    )
