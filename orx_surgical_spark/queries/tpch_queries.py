@@ -2,9 +2,10 @@
 
 Q1/Q3/Q5 shapes live in :mod:`relational_queries` (pricing_summary,
 shipping_priority, local_supplier_volume); this module adds the Q4 /
-Q6 / Q12 / Q14 / Q18 shapes, adapted to the synthetic schema (no
-commitdate/receiptdate/shipmode columns — the predicates are re-based
-on the columns that exist, the plan shapes are the canonical ones).
+Q6 / Q12 / Q14 / Q18 / Q19 / Q22 shapes, adapted to the synthetic
+schema (no commitdate/receiptdate/shipmode/phone columns — the
+predicates are re-based on the columns that exist, the plan shapes are
+the canonical ones).
 Each documents the physical plan Catalyst should pick; value-identical
 DuckDB oracles gate the results.
 """
@@ -206,5 +207,101 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             F.round("o_totalprice", 2).alias("o_totalprice"),
             F.round("sum_qty_raw", 2).alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H Q19 shape: discounted revenue under a disjunction of "
+        "brand/size/quantity conjunctions. The OR references both join "
+        "sides, so it cannot be a plain pushed filter — but Catalyst's "
+        "PushExtraPredicateThroughJoin derives the part-only OR "
+        "((brand=12 AND size 1-15) OR ...) onto the broadcast part scan "
+        "and the quantity-only OR onto the lineitem scan, shrinking "
+        "both inputs before the join evaluates the full predicate. "
+        "At 100 TB that derived lineitem filter (quantity <= 30) is "
+        "the difference between scanning everything and row-group "
+        "pruning most of the fact table.",
+    tags=("tpch", "disjunctive-pushdown"),
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    branch = lambda brand, s_lo, s_hi, q_lo, q_hi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(s_lo, s_hi)
+        & F.col("l_quantity").between(q_lo, q_hi)
+    )
+    return joined.where(
+        branch("Brand#12", 1, 15, 1, 11)
+        | branch("Brand#23", 10, 30, 10, 20)
+        | branch("Brand#3", 20, 50, 20, 30)
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "q22_dormant_rich_customers",
+    oracle="""
+    SELECT c.c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           ROUND(SUM(c.c_acctbal), 2) AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                         WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate < DATE '1996-01-01'
+      )
+    GROUP BY c.c_nationkey
+    """,
+    doc="TPC-H Q22 shape (global sales opportunity): customers with "
+        "above-average account balance and no orders in the first year, "
+        "counted per nation. Three classic pieces in one plan: a scalar "
+        "subquery (1-row average, broadcast to every partition as a "
+        "literal — zero shuffle), a LEFT ANTI join against the "
+        "date-filtered orders (NOT EXISTS; the filter shrinks the build "
+        "side before the join), and a small hash aggregate. The anti "
+        "join shuffles only the pre-filtered keys; customer never "
+        "shuffles twice.",
+    tags=("tpch", "anti-join", "scalar-subquery"),
+)
+def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = (
+        customer.where(F.col("c_acctbal") > 0.0)
+        .agg(F.avg("c_acctbal").alias("avg_bal"))
+    )
+    early = orders.where(
+        F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp")
+    ).select("o_custkey")
+    rich = customer.join(F.broadcast(avg_bal)).where(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    return (
+        rich.join(early, rich["c_custkey"] == early["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
