@@ -305,3 +305,52 @@ def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey, SUM(l_extendedprice * (1 - l_discount)) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01'
+        AND l_shipdate < DATE '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, ROUND(r.total_rev, 2) AS total_rev
+    FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+    """,
+    doc="TPC-H Q15 shape (top supplier): revenue-per-supplier aggregate "
+        "for one quarter, then keep the row(s) equal to the global max "
+        "— tie-preserving, unlike ORDER BY .. LIMIT 1. The quarter "
+        "filter pushes into the scan; the per-supplier aggregate is "
+        "small (|suppliers| rows), so the scalar MAX over it and the "
+        "supplier-name join are both broadcast-sized. The only "
+        "fact-table shuffle is the one groupBy(l_suppkey).",
+    tags=("tpch", "scalar-subquery"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "total_rev"
+            )
+        )
+    )
+    max_rev = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(max_rev))
+        .where(F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(supplier), rev["l_suppkey"] == supplier["s_suppkey"])
+        .select(
+            "s_suppkey", "s_name", F.round("total_rev", 2).alias("total_rev")
+        )
+    )
