@@ -112,3 +112,29 @@ def check_constraints(df: DataFrame, *rules: Rule) -> DataFrame:
             )
             out = out.crossJoin(orphans)
     return out
+
+
+def observed_write(
+    df: DataFrame,
+    path: str,
+    *metrics: Column,
+    name: str = "observed",
+    format: str = "parquet",
+) -> dict:
+    """Write ``df`` while piggybacking aggregate metrics on the same pass.
+
+    ``Dataset.observe`` attaches accumulator-backed aggregates to the
+    plan, so the metrics (row counts, null counts, sums for
+    reconciliation) are collected DURING the sink job — at 100 TB this
+    replaces the usual write-then-rescan-to-count pattern with zero
+    extra scans. Only accumulator-safe aggregates are allowed (no
+    distinct, no sort-based aggs); violations raise at analysis time.
+
+    Returns the observed metrics as a dict.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    observed = df.observe(obs, *metrics)
+    observed.write.mode("overwrite").format(format).save(path)
+    return obs.get

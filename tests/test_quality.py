@@ -43,3 +43,33 @@ def test_clean_table_reports_zero(spark):
     assert r["id_null_violations"] == 0
     assert r["id_dup_violations"] == 0
     assert r["status_outside_set_violations"] == 0
+
+
+def test_observed_write_metrics_match_direct_agg(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from orx_surgical_spark.functions.quality import observed_write
+    from orx_surgical_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    got = observed_write(
+        orders,
+        str(tmp_path / "orders_out"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias(
+            "nonpos_price"
+        ),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+    direct = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias(
+            "nonpos_price"
+        ),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    ).collect()[0]
+    assert got["n_rows"] == direct["n_rows"]
+    assert got["nonpos_price"] == direct["nonpos_price"]
+    assert got["total_price"] == direct["total_price"]
+    # the write actually landed
+    assert spark.read.parquet(str(tmp_path / "orders_out")).count() == got["n_rows"]
