@@ -54,16 +54,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark reads as int64
     nanoseconds under ``spark.sql.legacy.parquet.nanosAsLong``; convert to
-    a microsecond TimestampType here (floor division — matches DuckDB's
+    a microsecond TimestampType here (integer division — matches DuckDB's
     nanos->micros truncation).
     """
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
 
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
-        )
+        # Integer division (`div`), NOT `/` + floor: `/` promotes to double,
+        # and int64 epoch-nanos exceed the 53-bit double mantissa, so the
+        # floor lands 1µs off on a measurable fraction of rows.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 
