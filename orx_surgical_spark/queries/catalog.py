@@ -34,6 +34,11 @@ class CatalogQuery:
     doc: str = ""
     bench: bool = False  # part of the bench.py headline set
     tags: tuple[str, ...] = field(default_factory=tuple)
+    # Published to the driver via __spark_entry__? The driver's
+    # correctness gate checks at most ~50 queries, so the exposed
+    # surface is the standalone headliners plus composite panels
+    # (queries/panel_specs.py); everything else stays internal.
+    expose: bool = False
 
 
 REGISTRY: dict[str, CatalogQuery] = {}
@@ -78,6 +83,18 @@ def _load_all() -> None:
         timeseries_queries,
         tpch_queries,
     )
+    # Panels compose already-registered queries — import last. The env
+    # guard lets scripts/gen_panel_dtypes.py bootstrap the generated
+    # dtype snapshot that panel oracles are built from.
+    import os
+
+    if not os.environ.get("SPARK_GRAFT_SKIP_PANELS"):
+        from orx_surgical_spark.queries import panels  # noqa: F401
+
+
+def exposed() -> dict[str, CatalogQuery]:
+    """The driver-facing subset (≤50 entries; see panel_specs.py)."""
+    return {n: q for n, q in sorted(REGISTRY.items()) if q.expose}
 
 
 _load_all()
