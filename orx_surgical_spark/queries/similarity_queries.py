@@ -45,7 +45,10 @@ _TOPK_CTE = """
     tags=("similarity",),
 )
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
+    # No forced fan-out: the matmul scorer does trivial per-row work
+    # (one BLAS call per Arrow batch), so extra partitions only add
+    # Python-worker spin-up; at scale the scan's natural splits fan out.
+    emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return S.cosine_topk(emb, queries, k=5)
 
@@ -74,7 +77,7 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "knn"),
 )
 def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
+    emb = load_table(spark, sf_dir, "embeddings")  # matmul path: no fan-out
     queries = emb.filter(F.col("vec_id") < 10)
     return S.knn_label_vote(emb, queries, k=5)
 

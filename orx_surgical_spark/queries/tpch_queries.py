@@ -311,13 +311,14 @@ def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q15_top_supplier",
     oracle="""
     WITH rev AS (
-      SELECT l_suppkey, SUM(l_extendedprice * (1 - l_discount)) AS total_rev
+      SELECT l_suppkey,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_rev
       FROM lineitem
       WHERE l_shipdate >= DATE '1996-01-01'
         AND l_shipdate < DATE '1996-04-01'
       GROUP BY l_suppkey
     )
-    SELECT s.s_suppkey, s.s_name, ROUND(r.total_rev, 2) AS total_rev
+    SELECT s.s_suppkey, s.s_name, r.total_rev
     FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
     WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
     """,
@@ -339,10 +340,15 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
         )
         .groupBy("l_suppkey")
+        # Round INSIDE the aggregate: the plan evaluates `rev` twice (the
+        # scalar-max side and the join side), and float sum order differs
+        # between evaluations — equality on raw doubles would
+        # nondeterministically drop the max row. Rounded to 2 decimals,
+        # both evaluations agree (catalog-wide double convention).
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "total_rev"
-            )
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_rev")
         )
     )
     max_rev = rev.agg(F.max("total_rev").alias("max_rev"))
@@ -350,7 +356,5 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         rev.join(F.broadcast(max_rev))
         .where(F.col("total_rev") == F.col("max_rev"))
         .join(F.broadcast(supplier), rev["l_suppkey"] == supplier["s_suppkey"])
-        .select(
-            "s_suppkey", "s_name", F.round("total_rev", 2).alias("total_rev")
-        )
+        .select("s_suppkey", "s_name", "total_rev")
     )
