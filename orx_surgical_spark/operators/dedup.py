@@ -152,6 +152,7 @@ def minhash_bands(
 def lsh_candidate_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     n_hashes: int = 8, band_size: int = 2, ngram: int = 3,
+    max_bucket: int | None = 1024, pre_thin: bool = False,
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing at least one LSH
     band.
@@ -161,18 +162,54 @@ def lsh_candidate_pairs(
     in-bucket pairs via nested ``transform`` (pure codegen).  A
     band-key *self-join* would recompute the whole shingle+md5 pipeline
     for both inputs (AQE broadcasts one side, defeating exchange reuse)
-    — measured 2-4x slower.  Bucket sizes stay tiny for non-duplicate
-    content, so the collected id arrays are small; a pathological
-    all-identical corpus makes one bucket of n ids, but its n^2/2 pair
-    *output* is the true cost there, not the array.  (At extreme skew,
-    cap bucket size upstream before expanding.)
+    — measured 2-4x slower.
+
+    ``max_bucket`` bounds the blast radius of degenerate band keys
+    (boilerplate-heavy corpora put millions of ids in one bucket; one
+    task would otherwise emit n^2/2 pairs and die): oversized buckets
+    contribute only their ``max_bucket`` smallest ids (deterministic
+    truncation — at most ``max_bucket^2/2`` pairs per band key). Use
+    :func:`lsh_bucket_overflow` as the monitoring side-channel to see
+    what was truncated. ``None`` disables the cap (exact baseline — the
+    catalog's test-scale oracles run far below the default cap, so
+    capped and exact agree there).
+
+    ``pre_thin`` additionally thins oversized buckets BEFORE the
+    collect, bounding the aggregation buffer itself (~``max_bucket``
+    ids instead of n). It costs a second pass over the band pipeline,
+    so it's off by default: without it a degenerate bucket's collect
+    spills to a sort-based aggregate — slow but safe — and the slice
+    still caps the output. Turn it on for corpora known to carry heavy
+    boilerplate.
     """
     bands = minhash_bands(df, text_col, id_col, n_hashes, band_size, ngram)
+    if max_bucket is not None and pre_thin:
+        # Bucket sizes from a skew-safe count (map-side partial agg);
+        # the few oversized keys broadcast back, and each of their rows
+        # survives with probability max_bucket/n via the deterministic
+        # id hash.
+        from orx_surgical_spark.operators.encoders import hash_fraction
+
+        sizes = bands.groupBy("band_idx", "band_hash").agg(
+            F.count(F.lit(1)).alias("__n")
+        )
+        hot = sizes.where(F.col("__n") > max_bucket)
+        bands = (
+            bands.join(F.broadcast(hot), ["band_idx", "band_hash"], "left")
+            .where(
+                F.col("__n").isNull()
+                | (hash_fraction(F.col(id_col)) * F.col("__n") < F.lit(max_bucket))
+            )
+            .drop("__n")
+        )
     buckets = (
         bands.groupBy("band_idx", "band_hash")
         .agg(F.sort_array(F.collect_set(id_col)).alias("__ids"))
         .filter(F.size("__ids") > 1)
     )
+    if max_bucket is not None:
+        # Hard cap on expansion: at most max_bucket^2/2 pairs per key.
+        buckets = buckets.withColumn("__ids", F.slice("__ids", 1, max_bucket))
     pairs = F.flatten(
         F.transform(
             "__ids",
@@ -188,6 +225,24 @@ def lsh_candidate_pairs(
         buckets.select(F.explode(pairs).alias("p"))
         .select("p.id_a", "p.id_b")
         .distinct()
+    )
+
+
+def lsh_bucket_overflow(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n_hashes: int = 8, band_size: int = 2, ngram: int = 3,
+    max_bucket: int = 1024,
+) -> DataFrame:
+    """Monitoring side-channel for :func:`lsh_candidate_pairs`'s cap:
+    the band keys whose buckets exceed ``max_bucket`` and by how much
+    (``band_idx, band_hash, n_ids``). Run it alongside a capped dedup
+    pass to quantify truncated recall — a large overflow usually means
+    boilerplate that should be stripped upstream, not deduped."""
+    bands = minhash_bands(df, text_col, id_col, n_hashes, band_size, ngram)
+    return (
+        bands.groupBy("band_idx", "band_hash")
+        .agg(F.count(F.lit(1)).alias("n_ids"))
+        .where(F.col("n_ids") > max_bucket)
     )
 
 

@@ -208,20 +208,75 @@ def stratified_split_exact(
 ) -> DataFrame:
     """E7 exact-proportion stratified split: within each label, order by
     the md5 of the key (deterministic, uniform) and take the first
-    ``ceil(train_frac * n)`` rows as train.  One shuffle on the label;
-    reproduces the reference's ``train_test_split(stratify=y)``
-    proportions exactly (``cms_preprocess.py:364-365``) without seed
-    state or parallel-array alignment bugs (SURVEY §7 risk: E7).
+    ``ceil(train_frac * n)`` rows as train.  Reproduces the reference's
+    ``train_test_split(stratify=y)`` proportions exactly
+    (``cms_preprocess.py:364-365``) without seed state or
+    parallel-array alignment bugs (SURVEY §7 risk: E7).
+
+    Scale shape: a naive ``row_number() over (partition by label)``
+    sorts the ENTIRE dataset into |labels| partitions — two straggler
+    tasks at 100 TB.  Instead, bucket the hash into 2^16 ranges and
+    find, per label, the bucket holding the ``ceil(frac*n)``-th row
+    from a tiny (label, bucket) histogram; rows in buckets strictly
+    below/above the boundary are classified by PROJECTION (no shuffle
+    of the main data), and only the ~n/65536 rows inside each label's
+    boundary bucket pay a rank window.
     """
     h = F.md5(F.col(key).cast("string").cast("binary"))
-    w = Window.partitionBy(label_col).orderBy(h, key)
-    wn = Window.partitionBy(label_col)
-    rn = F.row_number().over(w)
-    n = F.count(F.lit(1)).over(wn)
-    take = F.ceil(n * F.lit(train_frac))
-    return df.withColumn(
-        out, F.when(rn <= take, F.lit("train")).otherwise(F.lit("test"))
+    bucket = F.conv(F.substring(h, 1, 4), 16, 10).cast("int")
+    d = df.withColumn("__h", h).withColumn("__b", bucket)
+
+    # Tiny histogram: ≤ 65536 rows per label, so the cumulative window
+    # and the per-label aggregate run on aggregate-sized data only.
+    hist = d.groupBy(label_col, "__b").agg(F.count(F.lit(1)).alias("__c"))
+    wcum = Window.partitionBy(label_col).orderBy("__b")
+    wlab = Window.partitionBy(label_col)
+    cum = (
+        hist.withColumn("__cum", F.sum("__c").over(wcum))
+        .withColumn("__take", F.ceil(F.sum("__c").over(wlab) * F.lit(train_frac)))
     )
+    # Boundary bucket = first bucket whose cumulative count reaches the
+    # take; within it, keep rank <= __r (take minus rows below it).
+    bstar = (
+        cum.where(F.col("__cum") >= F.col("__take"))
+        .groupBy(label_col)
+        .agg(F.min("__b").alias("__bstar"))
+    )
+    bounds = (
+        cum.join(bstar, on=label_col)
+        .where(F.col("__b") == F.col("__bstar"))
+        .select(
+            label_col,
+            "__bstar",
+            (F.col("__take") - (F.col("__cum") - F.col("__c"))).alias("__r"),
+        )
+    )
+    base = d.join(F.broadcast(bounds), on=label_col, how="left")
+
+    # Clear rows: strictly below the boundary bucket → train, strictly
+    # above → test. Pure projection over the scan.
+    clear = base.where(F.col("__b") != F.col("__bstar")).withColumn(
+        out,
+        F.when(F.col("__b") < F.col("__bstar"), F.lit("train")).otherwise(
+            F.lit("test")
+        ),
+    )
+    # Boundary rows: rank within (label, boundary bucket) — a window
+    # over ~1/65536th of each label's rows.
+    wedge = Window.partitionBy(label_col).orderBy("__h", key)
+    edge = (
+        base.where(F.col("__b") == F.col("__bstar"))
+        .withColumn("__rn", F.row_number().over(wedge))
+        .withColumn(
+            out,
+            F.when(F.col("__rn") <= F.col("__r"), F.lit("train")).otherwise(
+                F.lit("test")
+            ),
+        )
+        .drop("__rn")
+    )
+    drop = ["__h", "__b", "__bstar", "__r"]
+    return clear.unionByName(edge).drop(*drop)
 
 
 def stratified_sample_split(

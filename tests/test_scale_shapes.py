@@ -82,3 +82,40 @@ def test_broadcast_dim_join_single_exchange(spark, sf_dir):
     joined = dim_fact_join(orders, cust, on=orders["o_custkey"] == cust["c_custkey"])
     # only a broadcast exchange for the dim; no hash-partition exchange
     assert "hashpartitioning" not in plan_str(joined, "simple")
+
+
+def test_stratified_split_exact_not_label_partitioned(spark):
+    """The exact stratified split must NOT funnel the dataset through a
+    row_number window partitioned by label (|labels| straggler tasks at
+    scale): rows outside each label's boundary hash-bucket are
+    classified by projection, so the input partitioning survives."""
+    from orx_surgical_spark.operators.encoders import stratified_split_exact
+
+    df = (
+        spark.range(20_000)
+        .select(
+            F.col("id").alias("key"), (F.col("id") % 2).cast("int").alias("label")
+        )
+        .repartition(16)
+    )
+    out = stratified_split_exact(df, "label", "key", 0.8)
+    sizes = [
+        r["c"]
+        for r in out.groupBy(F.spark_partition_id().alias("p"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    ]
+    # Old shape: ~all 20k rows in 2 partitions. New shape: the clear
+    # branch keeps its 16 input partitions; no partition may hold more
+    # than ~2/16ths of the data.
+    assert max(sizes) < 20_000 * 2 / 16 + 100, sizes
+    # Exactness survives the rewrite.
+    import math
+
+    counts = {
+        (r["label"], r["split"]): r["n"]
+        for r in out.groupBy("label", "split").agg(F.count("*").alias("n")).collect()
+    }
+    for label in (0, 1):
+        n = counts.get((label, "train"), 0) + counts.get((label, "test"), 0)
+        assert counts[(label, "train")] == math.ceil(n * 0.8)
