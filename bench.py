@@ -61,7 +61,8 @@ def main() -> None:
             except Exception as exc:  # warmup must never fail the bench
                 print(f"# warmup {name} failed: {exc}", file=sys.stderr)
 
-    # Best-of-2 per query: the second run reuses compiled codegen and
+    # Best-of-N per query (N = SPARK_GRAFT_BENCH_RUNS, default 3): the
+    # repeat runs reuse compiled codegen and
     # warmed file/footer caches, so min-of-runs reports steady-state
     # throughput with less scheduler noise.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))

@@ -37,6 +37,12 @@ def asof_join(
     ordered by (ts, right-before-left tiebreak).  One shuffle on the
     key, no join operator at all — the classic scalable as-of shape.
     Ties (equal timestamps) match, like DuckDB/kdb ``asof``.
+
+    Precondition: the right side must be unique per (key, ts) — the
+    window orders only by (ts, source-tag), so among multiple right
+    rows at the same instant ``last(ignorenulls)`` would pick an
+    arbitrary one. Pre-aggregate duplicates (e.g. keep the max/latest
+    value per (key, ts)) before calling, as the catalog queries do.
     """
     l = left.withColumn("__src", F.lit(1))
     for c in value_cols:

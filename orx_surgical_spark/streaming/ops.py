@@ -210,10 +210,24 @@ def upsert_sink(
         else:
             merged = latest
         staged = f"{path}__stage_{batch_id}"
-        merged.write.mode("overwrite").parquet(staged)
+        # Swap order matters: the previous version is renamed ASIDE (not
+        # deleted) before the staged version takes its place, so a crash
+        # at any point leaves either the old or the new complete dataset
+        # on disk — never neither. A failed staged write cleans up its
+        # own directory instead of leaking __stage_* dirs; replays
+        # (foreachBatch redelivery) overwrite them anyway.
+        old = f"{path}__old_{batch_id}"
+        try:
+            merged.write.mode("overwrite").parquet(staged)
+        except Exception:
+            shutil.rmtree(staged, ignore_errors=True)
+            raise
+        if os.path.exists(old):
+            shutil.rmtree(old)
         if os.path.exists(path):
-            shutil.rmtree(path)
+            os.rename(path, old)
         os.rename(staged, path)
+        shutil.rmtree(old, ignore_errors=True)
 
     return (
         stream.writeStream.foreachBatch(process)
