@@ -72,6 +72,25 @@ def logistic_scorer(train: DataFrame, features_col: str = "features",
     ).fit(train)
 
 
+def mlp_classifier(train: DataFrame, features_col: str = "features",
+                   label_col: str = "label", hidden: int = 100,
+                   seed: int = 42, max_iter: int = 100):
+    """F3 architecture-parity tier: ``MultilayerPerceptronClassifier``
+    with the reference CNN head's [input, 100, 2] shape — one Dense(100)
+    hidden layer into a binary output (``cnn_model.ipynb:61 (cell 2)``).
+    The logistic tier (:func:`logistic_scorer`) stays the semantics
+    argument (the CNN's full-input kernel is a global linear map); this
+    is the architecture analogue, reproducing the hidden layer of 100.
+    """
+    from pyspark.ml.classification import MultilayerPerceptronClassifier
+
+    n_in = train.select(features_col).first()[0].size
+    return MultilayerPerceptronClassifier(
+        featuresCol=features_col, labelCol=label_col,
+        layers=[n_in, hidden, 2], seed=seed, maxIter=max_iter,
+    ).fit(train)
+
+
 def with_event_features(events: DataFrame, out: str = "features") -> DataFrame:
     """Shared demo feature block over the ``events`` table: E2 assembly
     of [value, hour, dayofweek, props-number] with the purchase label."""

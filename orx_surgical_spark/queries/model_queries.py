@@ -56,7 +56,11 @@ def lasso_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def rf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     train, test = _train_test(spark, sf_dir)
-    model = M.random_forest_regression(train)
+    # Reference config: n_estimators=100; max_depth=100 exceeds Spark's
+    # cap, so 30 (effective depth stays far below it — asserted in
+    # tests/test_encoders_models.py). Unit tests use smaller/faster
+    # trees; the catalog query carries the declared SURVEY §2-F2 mapping.
+    model = M.random_forest_regression(train, num_trees=100, max_depth=30)
     return model.transform(test).select(
         "event_id", "label", F.round("prediction", 6).alias("score")
     )
@@ -73,6 +77,27 @@ def rf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 def logreg_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     train, test = _train_test(spark, sf_dir)
     model = M.logistic_scorer(train)
+    from pyspark.ml.functions import vector_to_array
+
+    return model.transform(test).select(
+        "event_id",
+        "label",
+        F.round(vector_to_array("probability")[1], 6).alias("score"),
+        F.col("prediction").cast("int").alias("pred_label"),
+    )
+
+
+@register(
+    "mlp_scores",
+    oracle=None,
+    doc="F3 architecture-parity scorer: MultilayerPerceptronClassifier "
+        "[n_features, 100, 2] — the reference CNN head's Dense(100) "
+        "hidden layer (cnn_model.ipynb cell 2) as a native MLlib model.",
+    tags=("F3",),
+)
+def mlp_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    train, test = _train_test(spark, sf_dir)
+    model = M.mlp_classifier(train)
     from pyspark.ml.functions import vector_to_array
 
     return model.transform(test).select(

@@ -176,6 +176,7 @@ ROWS_ONLY_PANELS: dict[str, tuple[str, ...]] = {
     "panel_model_scores": (
         "lasso_scores",
         "logreg_scores",
+        "mlp_scores",
         "rf_scores",
         "cv_fold_stats",
         "positive_probe",

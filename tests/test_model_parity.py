@@ -78,3 +78,44 @@ def test_g8_rounded_accuracy(spark, cms_dir):
         F.avg((F.round("score") == F.col("label")).cast("double"))
     ).collect()[0][0]
     assert acc >= 0.95  # reference RF reports 0.9971 via np.round
+
+
+def _mhe_shaped_fixture(spark, n=2000, n_feats=64, n_informative=12, d=0.15):
+    """Balanced binary-label corpus with MHE-shaped (sparse 0/1) features
+    whose informative columns shift P(x=1) by ±d with the label — signal
+    calibrated so a well-fit scorer lands inside BASELINE.md's deep-model
+    AUC band (CNN 0.8831 / RNN 0.7692 → band 0.73-0.88)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    y = np.arange(n) % 2
+    p = np.full((n, n_feats), 0.5)
+    p[:, :n_informative] = np.where(y[:, None] == 1, 0.5 + d, 0.5 - d)
+    x = (rng.random((n, n_feats)) < p).astype(float)
+    rows = [
+        (int(i), [float(v) for v in x[i]], float(y[i])) for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, raw array<double>, label double"
+    )
+    from pyspark.ml.functions import array_to_vector
+
+    return df.withColumn("features", array_to_vector("raw")).drop("raw")
+
+
+def test_mlp_auc_in_baseline_band(spark):
+    """F3 architecture tier: the [n, 100, 2] MLP must reach the
+    reference deep models' AUC band (BASELINE.md: 0.73-0.88) on a
+    balanced MHE-shaped fixture — neither chance (plumbing broken) nor
+    ~1.0 (leakage)."""
+    from pyspark.ml.functions import vector_to_array
+
+    data = _mhe_shaped_fixture(spark)
+    train = data.filter(F.col("event_id") % 5 != 0)
+    test = data.filter(F.col("event_id") % 5 == 0)
+    model = M.mlp_classifier(train)
+    scored = model.transform(test).select(
+        "label", vector_to_array("probability")[1].alias("score")
+    )
+    auc = metrics.roc_auc(scored, "score", "label")
+    assert 0.73 <= auc <= 0.88, auc
