@@ -131,10 +131,26 @@ def pr_points(
 
 def precision_at_recall(
     df: DataFrame, score: str, label: str, target_recall: float = 0.9,
-    n_thresholds: int = 200,
+    n_thresholds: int = 200, mode: str = "interp",
 ) -> float:
-    """Interpolated precision at a recall level (SURVEY §2-G5; reference
-    ``np.interp(0.9, recall, precision)``)."""
+    """Precision at a recall level (SURVEY §2-G5), two reference modes:
+
+    - ``interp``: linear interpolation between the bracketing sweep
+      points — ``np.interp(0.9, recall, precision)`` semantics.
+    - ``nearest``: precision at the sweep point whose recall is closest
+      to the target — the ``precision[np.argmin(np.abs(recall - t))]``
+      variant (``modelling CNN.ipynb:1076 (cell 31)``); equal-distance
+      ties take the first point in threshold order (np.argmin first-hit).
+    """
+    if mode == "nearest":
+        rows = sorted(
+            pr_points(df, score, label, n_thresholds).collect(),
+            key=lambda r: r["threshold"],
+        )
+        best = min(rows, key=lambda r: abs(r["recall"] - target_recall))
+        return best["precision"]
+    if mode != "interp":
+        raise ValueError(f"unknown mode: {mode!r}")
     pts = sorted(
         (r["recall"], r["precision"])
         for r in pr_points(df, score, label, n_thresholds).collect()
@@ -145,9 +161,13 @@ def precision_at_recall(
         return ys[0]
     if target_recall >= xs[-1]:
         return ys[-1]
+    # Exact hit on a sweep point with duplicated recall: np.interp
+    # resolves to the LAST duplicate's precision (its interval search
+    # lands on the segment where x stops repeating).
+    exact = [y for x, y in pts if x == target_recall]
+    if exact:
+        return exact[-1]
     for (x0, y0), (x1, y1) in zip(pts, pts[1:]):
-        if x0 <= target_recall <= x1:
-            if x1 == x0:
-                return y0
+        if x0 < target_recall < x1:
             return y0 + (y1 - y0) * (target_recall - x0) / (x1 - x0)
     return ys[-1]

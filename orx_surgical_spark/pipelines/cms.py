@@ -133,14 +133,21 @@ def remap_and_label(
     dx_xwalk: DataFrame,
     pcs_xwalk: DataFrame,
     surgery_drgs: tuple[str, ...] = SURGERY_DRGS,
+    map_literal_max: int = 1000,
 ) -> DataFrame:
     """C3/B14 dict-remap of the 16 wide code columns (unknown -> 0) +
     B15 label.
 
-    The crosswalks are crosswalk-sized (hundreds of rows), so they ship
-    as broadcast map literals — the per-column probe is a pure
-    projection, no joins, no shuffle (the reference's ``applymap`` dict
-    probe with the same semantics, ``cms_preprocess.py:192,195``).
+    ICD-9 CCS crosswalks are crosswalk-sized (hundreds of rows), so by
+    default they ship as broadcast map literals — the per-column probe
+    is a pure projection, no joins, no shuffle (the reference's
+    ``applymap`` dict probe with the same semantics,
+    ``cms_preprocess.py:192,195``).  Above ``map_literal_max`` rows
+    (think ICD-10, ~70k codes) a map literal would paste a multi-MB
+    Catalyst expression into each of the 16 columns (plan-compile
+    blowup), so the remap switches to one broadcast hash join per code
+    column: the crosswalk hash table broadcasts ONCE and is probed 16
+    times (identical BroadcastExchanges are reused).
     """
 
     def map_lit(xwalk: DataFrame):
@@ -149,12 +156,27 @@ def remap_and_label(
             *[x for r in rows for x in (F.lit(r["ICD9"]), F.lit(r["CCS"]))]
         )
 
-    dx_map, pcs_map = map_lit(dx_xwalk), map_lit(pcs_xwalk)
-    out = claims
-    for c in S.DGNS_COLS:
-        out = out.withColumn(c, F.coalesce(F.element_at(dx_map, F.col(c)), F.lit(0)))
-    for c in S.PRCDR_COLS:
-        out = out.withColumn(c, F.coalesce(F.element_at(pcs_map, F.col(c)), F.lit(0)))
+    def remap(out: DataFrame, xwalk: DataFrame, cols: list[str]) -> DataFrame:
+        if xwalk.count() <= map_literal_max:
+            m = map_lit(xwalk)
+            for c in cols:
+                out = out.withColumn(
+                    c, F.coalesce(F.element_at(m, F.col(c)), F.lit(0))
+                )
+            return out
+        lut = F.broadcast(
+            xwalk.select(F.col("ICD9").alias("__k"), F.col("CCS").alias("__v"))
+        )
+        for c in cols:
+            out = (
+                out.join(lut, out[c] == lut["__k"], "left")
+                .withColumn(c, F.coalesce("__v", F.lit(0)))
+                .drop("__k", "__v")
+            )
+        return out
+
+    out = remap(claims, dx_xwalk, S.DGNS_COLS)
+    out = remap(out, pcs_xwalk, S.PRCDR_COLS)
     return out.withColumn(
         "label", R.derive_binary_label("CLM_DRG_CD", list(surgery_drgs))
     )

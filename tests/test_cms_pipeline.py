@@ -135,3 +135,21 @@ def test_mhe_rebalance_keeps_positives(spark, cms):
     )
     assert counts.get(1, 0) == n_pos  # all positives kept (E5)
     assert counts.get(0, 0) == 10
+
+
+def test_remap_join_tier_matches_literal_tier(spark, cms, cohort):
+    """Above map_literal_max the remap switches to broadcast lookup
+    joins; results must be identical and the plan must probe a reused
+    broadcast per crosswalk instead of pasting 16 map literals."""
+    t = P.load_cms_tables(spark, cms["dir"])
+    dx, pcs = P.clean_crosswalk(t["dx"]), P.clean_crosswalk(t["pcs"])
+    lit_tier = P.remap_and_label(cohort, dx, pcs)  # default: literals
+    join_tier = P.remap_and_label(cohort, dx, pcs, map_literal_max=0)
+    cols = sorted(lit_tier.columns)
+    assert sorted(join_tier.columns) == cols
+    a = lit_tier.select(*cols).exceptAll(join_tier.select(*cols))
+    b = join_tier.select(*cols).exceptAll(lit_tier.select(*cols))
+    assert a.count() == 0 and b.count() == 0
+    plan = join_tier._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "create_map" not in plan.lower()
