@@ -67,16 +67,25 @@ def main() -> None:
     # throughput with less scheduler noise.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     t_all = time.perf_counter()
     for name, q in bench_queries.items():
-        best = float("inf")
+        times = []
         for _ in range(max(runs, 1)):
             t0 = time.perf_counter()
             df = q.fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            times.append(time.perf_counter() - t0)
+        best = min(times)
         timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        # Run-to-run spread: (max-min)/min across the repeats — a noisy
+        # machine (background load) shows up here, so readers can tell
+        # plan regressions from scheduler jitter.
+        spreads[name] = round((max(times) - best) / best, 3) if best > 0 else 0.0
+        print(
+            f"# {name}: {timings[name]:.3f}s (spread {spreads[name]:.1%})",
+            file=sys.stderr,
+        )
     total = round(sum(timings.values()), 3)
     print(
         f"# wall including repeats: {time.perf_counter() - t_all:.3f}s",
@@ -91,6 +100,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs_per_query": max(runs, 1),
+                "run_spread_pct": {n: round(s * 100, 1) for n, s in spreads.items()},
+                "max_spread_pct": round(max(spreads.values()) * 100, 1)
+                if spreads
+                else 0.0,
             }
         )
     )
