@@ -66,16 +66,35 @@ def main() -> None:
     # warmed file/footer caches, so min-of-runs reports steady-state
     # throughput with less scheduler noise.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    timings: dict[str, float] = {}
-    spreads: dict[str, float] = {}
-    t_all = time.perf_counter()
+
+    # One untimed run per query at the TARGET scale first: the sf0.001
+    # warmup above compiles codegen, but scale-dependent state (parquet
+    # footer/page cache, broadcast builds, shuffle file buffers) only
+    # warms at the measured size — without this, run 1 is structurally
+    # 2-4x the steady state and the spread number reads as machine
+    # noise when it isn't.
     for name, q in bench_queries.items():
-        times = []
-        for _ in range(max(runs, 1)):
+        try:
+            q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as exc:
+            print(f"# target warmup {name} failed: {exc}", file=sys.stderr)
+
+    # Timed runs are interleaved round-robin (q1 q2 ... qn, q1 q2 ...):
+    # a transient background-load spike then degrades at most one run
+    # of each query instead of all N runs of whichever query it
+    # coincides with — min-of-N stays meaningful on a shared machine.
+    all_times: dict[str, list[float]] = {n: [] for n in bench_queries}
+    t_all = time.perf_counter()
+    for _ in range(max(runs, 1)):
+        for name, q in bench_queries.items():
             t0 = time.perf_counter()
             df = q.fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            times.append(time.perf_counter() - t0)
+            all_times[name].append(time.perf_counter() - t0)
+
+    timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
+    for name, times in all_times.items():
         best = min(times)
         timings[name] = round(best, 3)
         # Run-to-run spread: (max-min)/min across the repeats — a noisy

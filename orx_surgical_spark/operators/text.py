@@ -183,3 +183,127 @@ def winnowing_fingerprints(
         (F.col("__pos") <= F.col("__n") - window) | (F.col("__pos") == 0)
     )
     return valid.select(F.col(id_col), F.col("__fp").alias("fp")).distinct()
+
+
+def bigrams(toks: Column) -> Column:
+    """Adjacent-token bigrams as ``'a b'`` strings; empty array when the
+    document has fewer than two tokens."""
+    n = F.greatest(F.size(toks) - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(toks, 1, n), F.slice(toks, 2, n),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+
+
+def repetition_stats(
+    df, text_col: str = "text", id_col: str = "doc_id",
+):
+    """Gopher-style within-document repetition metrics (Rae et al. 2021
+    §A1.1 heuristics, re-expressed relationally): duplicate-token
+    fraction, duplicate-bigram fraction, and the fraction of
+    (non-whitespace) characters covered by the single most frequent
+    bigram.  High values flag boilerplate / degenerate text that a
+    training-data pipeline drops before dedup.
+
+    Physical shape: one explode + groupBy on ``(id, bigram)`` — a
+    shuffle keyed by (doc, gram) so no single task ever holds more than
+    one document's gram table — then a per-document row_number window
+    (doc-keyed, millions of small groups) for the top gram, and a
+    broadcast-free join back on the id.  Documents with fewer than two
+    tokens have no bigrams and are excluded (identically on the oracle
+    side).  Fractions are rounded to 6 dp for cross-engine hashing.
+    """
+    from pyspark.sql import Window as W
+
+    toks_df = df.select(
+        F.col(id_col),
+        tokens(text_col).alias("__tk"),
+        F.length(
+            F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", "")
+        ).alias("__tok_chars"),
+    )
+    grams = toks_df.select(
+        id_col, "__tok_chars", F.size("__tk").alias("__n_tok"),
+        F.size(F.array_distinct("__tk")).alias("__n_tok_d"),
+        F.explode(bigrams(F.col("__tk"))).alias("__gram"),
+    )
+    per_gram = grams.groupBy(
+        id_col, "__tok_chars", "__n_tok", "__n_tok_d", "__gram"
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    w = W.partitionBy(id_col).orderBy(F.desc("__c"), F.asc("__gram"))
+    return (
+        per_gram.withColumn("__rn", F.row_number().over(w))
+        .groupBy(id_col, "__tok_chars", "__n_tok", "__n_tok_d")
+        .agg(
+            F.sum("__c").cast("int").alias("n_bigrams"),
+            F.round(
+                F.sum(F.when(F.col("__c") > 1, F.col("__c")).otherwise(0))
+                / F.sum("__c"), 6,
+            ).alias("dup_bigram_frac"),
+            F.max(F.when(F.col("__rn") == 1, F.col("__gram"))).alias("top_bigram"),
+            F.max(F.when(F.col("__rn") == 1, F.col("__c"))).cast("int")
+            .alias("top_bigram_count"),
+        )
+        .select(
+            id_col,
+            F.col("n_bigrams"),
+            F.round(1 - F.col("__n_tok_d") / F.col("__n_tok"), 6)
+            .alias("dup_token_frac"),
+            "dup_bigram_frac",
+            "top_bigram",
+            "top_bigram_count",
+            F.round(
+                F.col("top_bigram_count")
+                * (F.length("top_bigram") - 1)  # minus the separator space
+                / F.col("__tok_chars"), 6,
+            ).alias("top_bigram_char_frac"),
+        )
+    )
+
+
+def pack_sequences(
+    df, token_count_col: str, id_col: str = "doc_id",
+    budget: int = 2048, n_shards: int = 8,
+):
+    """Concat-and-chunk sequence packing (the GPT-pretraining layout):
+    documents are laid end-to-end in id order within a shard and the
+    token stream is cut into fixed-``budget`` packs; a document whose
+    span crosses a cut is flagged ``is_split``.  Returns one row per
+    document: ``(id, shard, pack_seq, start_offset, n_tokens,
+    is_split)`` where ``pack_seq`` is the pack its FIRST token lands in.
+
+    Exact first-fit(-decreasing) bin packing is a sequential recurrence
+    (each placement depends on every prior remainder) — deliberately out
+    of scope; concat-and-chunk is what large-scale LLM pretraining
+    actually ships, and it is embarrassingly parallel across shards.
+
+    Physical shape: a running-sum window per shard (``id % n_shards`` —
+    deterministic and engine-independent; a production corpus would
+    hash).  Each shard sorts only its own slice, so parallelism ==
+    ``n_shards``: size it so a shard's (id, count) pairs fit one task
+    (~10k shards for a 100 TB corpus — the window input is two ints per
+    document, not the text).
+    """
+    from pyspark.sql import Window as W
+
+    n_tok = F.col(token_count_col)
+    shard = (F.col(id_col) % n_shards).cast("int")
+    w = (
+        W.partitionBy("shard").orderBy(id_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    with_cum = (
+        df.where(n_tok > 0)
+        .select(id_col, n_tok.alias("n_tokens"), shard.alias("shard"))
+        .withColumn("__cum", F.sum("n_tokens").over(w))
+        .withColumn("start_offset", F.col("__cum") - F.col("n_tokens"))
+    )
+    pack = F.floor(F.col("start_offset") / budget)
+    return with_cum.select(
+        id_col,
+        "shard",
+        pack.cast("int").alias("pack_seq"),
+        "start_offset",
+        "n_tokens",
+        (F.floor((F.col("__cum") - 1) / budget) != pack).alias("is_split"),
+    )

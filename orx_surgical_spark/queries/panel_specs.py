@@ -28,10 +28,12 @@ EXPOSED_STANDALONE: tuple[str, ...] = (
     "cosine_topk",
     "dedup_exact",
     "doc_graph_pagerank",
+    "doc_repetition_stats",
     "embedding_neardup_blocked",
     "join_customer_orders",
     "mhe_sparse_indices",
     "minhash_candidates",
+    "pack_sequences_summary",
     "pricing_summary",
     "semi_join_full_years",
     "sessionize_events",

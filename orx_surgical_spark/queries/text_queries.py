@@ -188,3 +188,93 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return X.winnowing_fingerprints(docs, "text", "doc_id", n=3, window=4)
+
+
+@register(
+    "doc_repetition_stats",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS tk,
+             length(regexp_replace(lower(trim(text)), '\s+', '', 'g'))
+                 AS tok_chars
+      FROM documents
+    ), g AS (
+      SELECT doc_id, tok_chars, len(tk) AS n_tok,
+             len(list_distinct(tk)) AS n_tok_d,
+             unnest(list_transform(range(1, len(tk)),
+                                   i -> tk[i] || ' ' || tk[i+1])) AS gram
+      FROM t
+    ), pg AS (
+      SELECT doc_id, tok_chars, n_tok, n_tok_d, gram, COUNT(*) AS c
+      FROM g GROUP BY ALL
+    ), rn AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY c DESC, gram ASC) AS rn
+      FROM pg
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS INTEGER) AS n_bigrams,
+           ROUND(1 - n_tok_d / CAST(n_tok AS DOUBLE), 6) AS dup_token_frac,
+           ROUND(SUM(CASE WHEN c > 1 THEN c ELSE 0 END)
+                 / CAST(SUM(c) AS DOUBLE), 6) AS dup_bigram_frac,
+           MAX(CASE WHEN rn = 1 THEN gram END) AS top_bigram,
+           CAST(MAX(CASE WHEN rn = 1 THEN c END) AS INTEGER)
+               AS top_bigram_count,
+           ROUND(MAX(CASE WHEN rn = 1 THEN c END)
+                 * (length(MAX(CASE WHEN rn = 1 THEN gram END)) - 1)
+                 / CAST(tok_chars AS DOUBLE), 6) AS top_bigram_char_frac
+    FROM rn
+    GROUP BY doc_id, tok_chars, n_tok, n_tok_d
+    """,
+    doc="Gopher-style repetition metrics per document: duplicate-token "
+        "fraction, duplicate-bigram fraction, top-bigram char coverage "
+        "— the boilerplate/degenerate-text filters a training-data "
+        "pipeline applies before dedup (Rae et al. 2021 heuristics).",
+    tags=("text", "quality"),
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return X.repetition_stats(docs, "text", "doc_id")
+
+
+@register(
+    "pack_sequences_summary",
+    oracle=rf"""
+    WITH d AS (
+      SELECT doc_id, len({_TOKS}) AS n_tokens,
+             CAST(doc_id % 8 AS INTEGER) AS shard
+      FROM documents
+      WHERE len({_TOKS}) > 0
+    ), c AS (
+      SELECT *, SUM(n_tokens) OVER (
+        PARTITION BY shard ORDER BY doc_id
+        ROWS UNBOUNDED PRECEDING) AS cum
+      FROM d
+    )
+    SELECT shard,
+           CAST(FLOOR((cum - n_tokens) / 2048.0) AS INTEGER) AS pack_seq,
+           CAST(COUNT(*) AS INTEGER) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN FLOOR((cum - 1) / 2048.0)
+                         <> FLOOR((cum - n_tokens) / 2048.0)
+                    THEN 1 ELSE 0 END) AS INTEGER) AS n_split_docs
+    FROM c
+    GROUP BY 1, 2
+    """,
+    doc="GPT-style concat-and-chunk sequence packing: documents laid "
+        "end-to-end per shard, token stream cut into 2048-token packs; "
+        "per-pack doc/token/split counts.  Shard-parallel running-sum "
+        "windows — the scalable packing layout for pretraining batches.",
+    tags=("text", "encoder"),
+)
+def pack_sequences_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", X.token_count(X.tokens("text")).alias("n_tok")
+    )
+    packed = X.pack_sequences(d, "n_tok", "doc_id", budget=2048, n_shards=8)
+    return packed.groupBy("shard", "pack_seq").agg(
+        F.count(F.lit(1)).cast("int").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum(F.col("is_split").cast("int")).cast("int").alias("n_split_docs"),
+    )

@@ -1,0 +1,76 @@
+"""Hand-computed fixtures for the repetition metrics and sequence
+packing operators (the catalog oracle covers them end-to-end; these pin
+the semantics on inputs where the arithmetic is checkable by eye)."""
+
+import pytest
+
+from orx_surgical_spark.operators import text as X
+
+
+def test_repetition_stats_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "x y"), (3, "solo")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in X.repetition_stats(df).collect()}
+    # doc 1: tokens [a b a b c]; bigrams [a b, b a, a b, b c]
+    r = rows[1]
+    assert r["n_bigrams"] == 4
+    assert r["dup_token_frac"] == pytest.approx(1 - 3 / 5)
+    assert r["dup_bigram_frac"] == pytest.approx(2 / 4)
+    assert r["top_bigram"] == "a b"
+    assert r["top_bigram_count"] == 2
+    # 2 occurrences x 2 non-space chars / 5 non-space chars
+    assert r["top_bigram_char_frac"] == pytest.approx(0.8)
+    # doc 2: one bigram, nothing repeated
+    assert rows[2]["dup_bigram_frac"] == 0.0
+    assert rows[2]["top_bigram"] == "x y"
+    # doc 3: a single token has no bigrams -> excluded
+    assert 3 not in rows
+
+
+def test_repetition_stats_tie_breaks_lexicographic(spark):
+    df = spark.createDataFrame([(1, "b c a a b c")], ["doc_id", "text"])
+    # bigrams: [b c, c a, a a, a b, b c] -> "b c" wins on count;
+    # among count-1 grams nothing matters, but force a count tie:
+    df2 = spark.createDataFrame([(1, "z z y y")], ["doc_id", "text"])
+    r = X.repetition_stats(df2).collect()[0]
+    # bigrams [z z, z y, y y] all count 1 -> lexicographically smallest
+    assert r["top_bigram"] == "y y"
+    r1 = X.repetition_stats(df).collect()[0]
+    assert (r1["top_bigram"], r1["top_bigram_count"]) == ("b c", 2)
+
+
+def test_pack_sequences_chunk_assignment(spark):
+    df = spark.createDataFrame(
+        [(0, 4), (1, 5), (2, 3), (3, 6), (4, 0)], ["doc_id", "n_tok"]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in X.pack_sequences(
+            df, "n_tok", "doc_id", budget=10, n_shards=1
+        ).collect()
+    }
+    assert 4 not in out  # zero-token doc dropped
+    assert [(out[i]["pack_seq"], out[i]["start_offset"]) for i in range(4)] == [
+        (0, 0), (0, 4), (0, 9), (1, 12)
+    ]
+    # doc 2 spans tokens 9..11: crosses the pack-0/pack-1 cut
+    assert [out[i]["is_split"] for i in range(4)] == [False, False, True, False]
+
+
+def test_pack_sequences_shards_are_independent(spark):
+    df = spark.createDataFrame(
+        [(i, 7) for i in range(20)], ["doc_id", "n_tok"]
+    )
+    out = X.pack_sequences(df, "n_tok", "doc_id", budget=21, n_shards=4)
+    rows = out.collect()
+    assert {r["shard"] for r in rows} == {0, 1, 2, 3}
+    # each shard has 5 docs x 7 tokens = 35 tokens -> packs 0 and 1
+    for s in range(4):
+        packs = sorted(
+            (r["pack_seq"], r["start_offset"])
+            for r in rows
+            if r["shard"] == s
+        )
+        assert [p for p, _ in packs] == [0, 0, 0, 1, 1]
