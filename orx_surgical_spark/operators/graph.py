@@ -66,8 +66,13 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+    from pyspark.sql import Observation
+
     for _ in range(max_iter):
-        # (1) min label over neighbours, folded into own label.
+        # (1) min label over neighbours, folded into own label; the old
+        # label rides along so convergence is decided by an observed
+        # metric on the checkpoint job instead of a second join+count
+        # job per round.
         neigh_min = (
             sym.join(labels, sym["a"] == labels["node"])
             .groupBy(sym["b"].alias("node"))
@@ -77,6 +82,7 @@ def connected_components(
             labels.join(neigh_min, "node", "left")
             .select(
                 "node",
+                F.col("label").alias("old"),
                 F.least("label", F.coalesce("nmin", "label")).alias("label"),
             )
         )
@@ -84,19 +90,24 @@ def connected_components(
         parent = stepped.select(
             F.col("node").alias("p_node"), F.col("label").alias("p_label")
         )
+        obs = Observation()
         jumped = (
             stepped.join(parent, stepped["label"] == parent["p_node"], "left")
-            .select("node", F.coalesce("p_label", "label").alias("label"))
-            .localCheckpoint(eager=True)
+            .select(
+                "node", F.coalesce("p_label", "label").alias("label"), "old"
+            )
+            .observe(
+                obs,
+                F.coalesce(
+                    F.sum((F.col("label") != F.col("old")).cast("long")),
+                    F.lit(0),
+                ).alias("changed"),
+            )
         )
-        changed = (
-            jumped.join(labels.withColumnRenamed("label", "old"), "node")
-            .where(F.col("label") != F.col("old"))
-            .limit(1)
-            .count()
-        )
-        labels = jumped
-        if changed == 0:
+        labels = jumped.select("node", "label").localCheckpoint(eager=True)
+        # The eager checkpoint already materialized the plan, so the
+        # metric is available without launching any further job.
+        if obs.get["changed"] == 0:
             break
 
     return labels.select("node", F.col("label").alias("component"))
@@ -119,9 +130,13 @@ def pagerank(
 
     as two DataFrame ops: one equi-join of the rank table with the edge
     list on the source key, one hash aggregate on the destination key.
-    Dangling nodes (no out-edges) spread their mass uniformly — the
-    aggregate of their ranks is a scalar broadcast, not a shuffle. The
-    edge list re-partitions once on ``src`` up front so every
+    Dangling nodes (no out-edges) spread their mass uniformly; their
+    aggregate rank is collected as an *observed metric* on the previous
+    round's checkpoint job (the dangling node set is fixed, so round 0
+    needs only the dangling-node count under the uniform init) — no
+    per-round scalar job at all. ``out_deg`` rides along in the rank
+    table, so the per-round plan is exactly one join + one aggregate.
+    The edge list re-partitions once on ``src`` up front so every
     iteration's join reuses that partitioning; per-round
     ``localCheckpoint`` truncates the growing iterative lineage (swap
     for ``checkpoint`` on a durable dir when running on a cluster).
@@ -142,34 +157,51 @@ def pagerank(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    from pyspark.sql import Observation
+
     n_total = nodes.count()
     out_deg = e.groupBy("e_src").agg(F.count(F.lit(1)).alias("out_deg"))
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n_total))
+    # out_deg travels with the rank table (null = dangling): the
+    # per-round plan needs no rank⋈out_deg join and the dangling mass
+    # is observable on the same pass that materializes the new ranks.
+    flagged = (
+        nodes.join(out_deg, nodes["node"] == out_deg["e_src"], "left")
+        .select("node", "out_deg")
+        .localCheckpoint(eager=True)
+    )
+    n_dangling = flagged.where(F.col("out_deg").isNull()).count()
+    ranks = flagged.withColumn("rank", F.lit(1.0 / n_total))
+    dangling = n_dangling / n_total  # uniform init ⇒ exact, no job
 
     for _ in range(n_iter):
-        with_deg = ranks.join(
-            out_deg, ranks["node"] == out_deg["e_src"], "left"
-        ).select("node", "rank", "out_deg")
-        dangling = (
-            with_deg.where(F.col("out_deg").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .first()[0]
-        )
         contrib = (
-            e.join(with_deg.where(F.col("out_deg").isNotNull()),
+            e.join(ranks.where(F.col("out_deg").isNotNull()),
                    e["e_src"] == F.col("node"))
             .groupBy(F.col("e_dst").alias("node"))
             .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("c"))
         )
         base = (1.0 - damping) / n_total + damping * dangling / n_total
+        obs = Observation()
         ranks = (
-            nodes.join(contrib, "node", "left")
+            flagged.join(contrib, "node", "left")
             .select(
                 "node",
+                "out_deg",
                 (F.lit(base) + F.lit(damping) * F.coalesce("c", F.lit(0.0))).alias(
                     "rank"
                 ),
             )
+            .observe(
+                obs,
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("out_deg").isNull(), F.col("rank"))
+                        .otherwise(F.lit(0.0))
+                    ),
+                    F.lit(0.0),
+                ).alias("dangling_mass"),
+            )
             .localCheckpoint(eager=True)
         )
-    return ranks
+        dangling = obs.get["dangling_mass"]
+    return ranks.select("node", "rank")
