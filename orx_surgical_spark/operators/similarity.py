@@ -304,3 +304,55 @@ def ann_lsh_topk(
         F.col("dist").asc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+def quantize_int8(df, vec_col: str = "embedding", id_col: str = "vec_id",
+                  serialize_q: bool = False):
+    """Per-vector symmetric int8 quantization of a float embedding
+    column: ``scale = max|x| / 127``, ``q_i = floor(x_i/scale + 0.5)``
+    clamped to [-127, 127] — the storage layout that shrinks a 100 TB
+    float32 embedding corpus 4x (and its ANN working set with it),
+    dequantizing as ``x̂ = q * scale``.
+
+    Round-half-up is spelled out as ``floor(x + 0.5)`` instead of an
+    engine ``round()`` so every engine agrees on ties; all arithmetic
+    is exact float32→float64 widening followed by identical f64 ops,
+    so quantized values are bit-reproducible across engines.  Map-only
+    (no shuffle): returns ``(id, scale, q array<tinyint>, rmse)`` where
+    rmse is the per-vector reconstruction error.  ``serialize_q=True``
+    renders q as a comma-joined string (scalar-only output for
+    cross-engine value hashing).
+    """
+    v = F.col(vec_col)
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
+    q = F.when(scale == 0, F.transform(v, lambda x: F.lit(0).cast("tinyint"))).otherwise(
+        F.transform(
+            v,
+            lambda x: F.greatest(
+                F.lit(-127), F.least(F.lit(127), F.floor(x / scale + F.lit(0.5)))
+            ).cast("tinyint"),
+        )
+    )
+    out = df.select(F.col(id_col), v.alias("__v"), scale.alias("__scale"), q.alias("q"))
+    mse = (
+        F.aggregate(
+            F.zip_with(
+                F.col("__v"), F.col("q"),
+                lambda x, qq: F.pow(x - qq * F.col("__scale"), F.lit(2.0)),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / F.size("__v")
+    )
+    q_out = (
+        F.array_join(F.col("q").cast("array<string>"), ",").alias("q")
+        if serialize_q
+        else F.col("q")
+    )
+    return out.select(
+        id_col,
+        F.round("__scale", 6).alias("scale"),
+        q_out,
+        F.round(F.sqrt(mse), 6).alias("rmse"),
+    )

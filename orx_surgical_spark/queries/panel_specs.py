@@ -29,6 +29,7 @@ EXPOSED_STANDALONE: tuple[str, ...] = (
     "dedup_exact",
     "doc_graph_pagerank",
     "doc_repetition_stats",
+    "embedding_quantize_int8",
     "embedding_neardup_blocked",
     "join_customer_orders",
     "mhe_sparse_indices",

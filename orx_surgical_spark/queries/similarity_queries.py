@@ -161,3 +161,46 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 10)
     return S.ann_ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=2)
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH t AS (
+      -- widen to f64 FIRST: Spark's lambda arithmetic runs in double
+      -- (float operands widen), while DuckDB would otherwise keep the
+      -- whole expression tree in float32
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+             list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                     x -> abs(x))) / 127.0 AS scale
+      FROM embeddings
+    ), qd AS (
+      SELECT vec_id, emb, scale,
+             CASE WHEN scale = 0
+                  THEN list_transform(emb, x -> CAST(0 AS TINYINT))
+                  ELSE list_transform(emb, x -> CAST(
+                         GREATEST(-127, LEAST(127,
+                           FLOOR(x / scale + 0.5))) AS TINYINT))
+             END AS q
+      FROM t
+    )
+    SELECT vec_id,
+           ROUND(scale, 6) AS scale,
+           -- serialized: the driver's comparator is only proven on
+           -- scalar columns (panels serialize for the same reason)
+           array_to_string(q, ',') AS q,
+           ROUND(SQRT(list_sum(list_transform(
+                   range(1, len(emb) + 1),
+                   i -> POW(emb[i] - q[i] * scale, 2)))
+                 / len(emb)), 6) AS rmse
+    FROM qd
+    """,
+    doc="Symmetric per-vector int8 quantization of the embedding "
+        "corpus: scale, quantized values (bit-reproducible round-half-"
+        "up), per-vector reconstruction RMSE — the 4x storage shrink "
+        "for a 100 TB embedding corpus, map-only.",
+    tags=("similarity", "embedding"),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.quantize_int8(emb, "embedding", "vec_id", serialize_q=True)

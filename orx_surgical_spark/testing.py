@@ -42,6 +42,16 @@ def _norm_value(v: Any) -> str:
         return f"{v:.12g}"
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_norm_value(x) for x in v) + "]"
+    if hasattr(v, "tolist") and not hasattr(v, "isoformat"):
+        # numpy array/scalar: DuckDB's fetch_df and Arrow-enabled Spark
+        # sessions both hand back numpy — normalize via Python values so
+        # the result doesn't depend on which conversion path ran.
+        n = v.tolist()
+        return (
+            "[" + ",".join(_norm_value(x) for x in n) + "]"
+            if isinstance(n, list)
+            else _norm_value(n)
+        )
     if isinstance(v, pd.Timestamp):
         return v.isoformat()
     return str(v)

@@ -74,3 +74,20 @@ def test_pack_sequences_shards_are_independent(spark):
             if r["shard"] == s
         )
         assert [p for p, _ in packs] == [0, 0, 0, 1, 1]
+
+
+def test_quantize_int8_hand_computed(spark):
+    from orx_surgical_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id: long, embedding: array<float>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+    # scale = 1/127; q = round(x * 127) = [127, -63.5->floor(-63.0)? ...]
+    # x/scale = x*127: [127.0, -63.5, 31.75, 0] -> floor(x+0.5):
+    # [127, floor(-63.0)=-63, floor(32.25)=32, 0]
+    assert list(rows[1]["q"]) == [127, -63, 32, 0]
+    assert rows[1]["scale"] == pytest.approx(1 / 127, abs=1e-6)
+    assert list(rows[2]["q"]) == [0, 0, 0, 0]
+    assert rows[2]["rmse"] == 0.0
