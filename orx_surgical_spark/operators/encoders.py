@@ -291,3 +291,31 @@ def stratified_sample_split(
     train = df.sampleBy(label_col, {l: train_frac for l in labels}, seed=seed)
     test = df.join(train.select(key), on=key, how="left_anti")
     return train, test
+
+
+def mixture_sample(
+    df: DataFrame, group_col: str, key: str
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic source-mixture rebalancing: downsample every group
+    to the size of the smallest so the output mixture is uniform across
+    ``group_col`` — the data-mixing step of a pretraining pipeline,
+    seedless and reproducible under any partitioning (keep a row iff
+    its :func:`hash_fraction` falls below the group's weight).
+
+    Returns ``(sampled_rows, weights)`` where ``weights`` has one row
+    per group: ``(group, __n, __w)``.  The weight table is one tiny
+    aggregate (|groups| rows) broadcast back onto the fact side — the
+    fact table itself is never shuffled, so the whole rebalance is a
+    scan + broadcast-join + filter at any scale.
+    """
+    from pyspark.sql import Window as W
+
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    weights = counts.withColumn(
+        "__w",
+        F.min("__n").over(W.partitionBy()) / F.col("__n"),
+    )
+    sampled = df.join(F.broadcast(weights), group_col).where(
+        hash_fraction(key) < F.col("__w")
+    )
+    return sampled, weights

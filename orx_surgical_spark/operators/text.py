@@ -307,3 +307,35 @@ def pack_sequences(
         "n_tokens",
         (F.floor((F.col("__cum") - 1) / budget) != pack).alias("is_split"),
     )
+
+
+def contamination_report(
+    corpus, eval_docs, text_col: str = "text", id_col: str = "doc_id",
+    n: int = 3, min_shared: int = 2,
+):
+    """Benchmark decontamination (the GPT-3-style n-gram collision
+    check): flag corpus documents sharing at least ``min_shared``
+    distinct word ``n``-gram shingles with ANY eval-set document —
+    the filter a pretraining pipeline runs so held-out benchmarks
+    don't leak into the training set.
+
+    Physical shape: explode each side's *distinct* shingle set, one
+    equi-join on the shingle string with the eval side broadcast (an
+    eval suite is KBs–MBs against a 100 TB corpus), then a count per
+    corpus document.  Corpus side is scan → project → broadcast-join →
+    doc-keyed aggregate: one shuffle, no all-pairs anything.
+    """
+    c_sh = corpus.select(
+        F.col(id_col), F.explode(shingles(tokens(text_col), n)).alias("__sh")
+    )
+    e_sh = (
+        eval_docs.select(F.explode(shingles(tokens(text_col), n)).alias("__sh"))
+        .distinct()
+    )
+    return (
+        c_sh.join(F.broadcast(e_sh), "__sh")
+        # shingles() is distinct-per-doc, so count(*) == distinct shared
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("int").alias("n_shared_shingles"))
+        .withColumn("contaminated", F.col("n_shared_shingles") >= min_shared)
+    )

@@ -187,3 +187,45 @@ def occurrence_vectors_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_active"),
         F.lit(len(model.vocabulary)).alias("vocab_size"),
     )
+
+
+@register(
+    "source_mixture_sample",
+    oracle=f"""
+    WITH c AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ), w AS (
+      SELECT source, n_docs,
+             (SELECT MIN(n_docs) FROM c) / CAST(n_docs AS DOUBLE) AS w
+      FROM c
+    ), s AS (
+      SELECT d.source, COUNT(*) AS k
+      FROM (SELECT source, md5(CAST(doc_id AS VARCHAR)) AS h
+            FROM documents) d
+      JOIN w USING (source)
+      WHERE (({_H16}) / 65536.0) < w.w
+      GROUP BY d.source
+    )
+    SELECT w.source, w.n_docs, ROUND(w.w, 6) AS weight,
+           CAST(COALESCE(s.k, 0) AS BIGINT) AS n_sampled
+    FROM w LEFT JOIN s USING (source)
+    """,
+    doc="Deterministic source-mixture rebalance: every source "
+        "downsampled to the smallest via the seedless md5 fraction — "
+        "the data-mixing step of a pretraining pipeline; scan + "
+        "broadcast weight table + filter, no fact-side shuffle.",
+    tags=("encoder", "sampling"),
+)
+def source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sampled, weights = E.mixture_sample(docs, "source", "doc_id")
+    per_src = sampled.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_sampled")
+    )
+    return weights.join(per_src, "source", "left").select(
+        "source",
+        F.col("__n").alias("n_docs"),
+        F.round("__w", 6).alias("weight"),
+        F.coalesce("n_sampled", F.lit(0)).cast("bigint").alias("n_sampled"),
+    )

@@ -27,6 +27,7 @@ EXPOSED_STANDALONE: tuple[str, ...] = (
     "corpus_curation_summary",
     "cosine_topk",
     "dedup_exact",
+    "decontamination_report",
     "doc_graph_pagerank",
     "doc_repetition_stats",
     "embedding_quantize_int8",
@@ -38,6 +39,7 @@ EXPOSED_STANDALONE: tuple[str, ...] = (
     "pricing_summary",
     "semi_join_full_years",
     "sessionize_events",
+    "source_mixture_sample",
     "shipping_priority",
     "threshold_sweep",
     "token_stats",

@@ -278,3 +278,37 @@ def pack_sequences_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("n_tokens"),
         F.sum(F.col("is_split").cast("int")).cast("int").alias("n_split_docs"),
     )
+
+
+@register(
+    "decontamination_report",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 0) + 1),
+               i -> array_to_string(t[i:i+2], ' ')))) AS sh
+      FROM tk
+    ), ev AS (
+      SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0
+    ), co AS (
+      SELECT doc_id, sh FROM sh WHERE doc_id % 97 <> 0
+    )
+    SELECT co.doc_id,
+           CAST(COUNT(*) AS INTEGER) AS n_shared_shingles,
+           COUNT(*) >= 2 AS contaminated
+    FROM co JOIN ev USING (sh)
+    GROUP BY co.doc_id
+    """,
+    doc="Benchmark decontamination: corpus documents sharing >=2 "
+        "distinct 3-gram shingles with the held-out eval slice "
+        "(doc_id % 97 == 0 stands in for the benchmark set) — the "
+        "GPT-3-style n-gram collision check, eval side broadcast.",
+    tags=("text", "dedup", "quality"),
+)
+def decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 97 == 0)
+    co = docs.where(F.col("doc_id") % 97 != 0)
+    return X.contamination_report(co, ev, "text", "doc_id", n=3, min_shared=2)
