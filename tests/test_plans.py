@@ -122,3 +122,40 @@ def test_q18_aggregates_before_joining(spark, sf_dir):
         if m in plan
     )
     assert "HashAggregate" in plan[join_depth:]
+
+
+def test_decontamination_broadcasts_eval_side(spark, sf_dir):
+    plan = plan_str(REGISTRY["decontamination_report"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan  # eval shingles broadcast
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+def test_mixture_sample_broadcasts_weights(spark, sf_dir):
+    plan = plan_str(REGISTRY["source_mixture_sample"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan  # per-source weight table
+    assert "CartesianProduct" not in plan
+
+
+def test_pack_sequences_window_is_shard_partitioned(spark, sf_dir):
+    plan = plan_str(REGISTRY["pack_sequences_summary"].fn(spark, sf_dir))
+    # The running-sum window must partition by the shard key — a global
+    # (unpartitioned) window would serialize the whole corpus through
+    # one task at scale.
+    assert "windowspecdefinition(shard" in plan
+    assert "windowspecdefinition(doc_id" not in plan
+
+
+def test_quantize_is_map_only(spark, sf_dir):
+    df = REGISTRY["embedding_quantize_int8"].fn(spark, sf_dir)
+    plan = plan_str(df)
+    assert "Exchange" not in plan  # pure projection: no shuffle at all
+    assert "Window" not in plan
+
+
+def test_repetition_stats_keys_on_doc_and_gram(spark, sf_dir):
+    plan = plan_str(REGISTRY["doc_repetition_stats"].fn(spark, sf_dir))
+    # First aggregate must key on (doc, gram) — grouping only by gram
+    # (or globally) would concentrate hot grams; (doc, gram) keeps every
+    # task bounded by one document's gram table.
+    assert "hashpartitioning(doc_id" in plan
+    assert "CartesianProduct" not in plan
