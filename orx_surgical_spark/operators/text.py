@@ -339,3 +339,46 @@ def contamination_report(
         .agg(F.count(F.lit(1)).cast("int").alias("n_shared_shingles"))
         .withColumn("contaminated", F.col("n_shared_shingles") >= min_shared)
     )
+
+
+def token_budget_select(
+    df, text_col: str = "text", id_col: str = "doc_id",
+    budget_frac: float = 0.4, bucket_dp: int = 3,
+):
+    """Quality-threshold corpus selection under a token budget (the
+    FineWeb-style curation step): keep the highest-:func:`quality_score`
+    documents until ~``budget_frac`` of the corpus token count is
+    filled.  Selection is *bucket-granular* — quality rounded to
+    ``bucket_dp`` decimals — so the cutoff comes from a cumulative sum
+    over a ≤10^bucket_dp-row bucket table instead of a global sort of
+    the corpus: doc-level map → tiny bucket aggregate → cumsum window
+    on the bucket table (single small task by construction) → broadcast
+    threshold join back.  No corpus-wide sort or window at any scale.
+
+    Returns ``(id, qb, n_tokens, selected)`` per document.
+    """
+    from pyspark.sql import Window as W
+
+    d = df.select(
+        F.col(id_col),
+        F.round(quality_score(text_col), bucket_dp).alias("qb"),
+        token_count(tokens(text_col)).alias("n_tokens"),
+    )
+    per_b = d.groupBy("qb").agg(F.sum("n_tokens").alias("__bt"))
+    w = (
+        W.orderBy(F.desc("qb"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    sel_b = (
+        per_b.withColumn("__cum", F.sum("__bt").over(w))
+        .withColumn("__tot", F.sum("__bt").over(W.partitionBy()))
+        .where(F.col("__cum") <= F.lit(budget_frac) * F.col("__tot"))
+        .select("qb", F.lit(True).alias("__sel"))
+    )
+    return (
+        d.join(F.broadcast(sel_b), "qb", "left")
+        .select(
+            id_col, "qb", "n_tokens",
+            F.coalesce("__sel", F.lit(False)).alias("selected"),
+        )
+    )

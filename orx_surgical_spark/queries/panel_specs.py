@@ -42,6 +42,7 @@ EXPOSED_STANDALONE: tuple[str, ...] = (
     "source_mixture_sample",
     "shipping_priority",
     "threshold_sweep",
+    "token_budget_selection",
     "token_stats",
 )
 

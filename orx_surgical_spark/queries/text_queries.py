@@ -312,3 +312,54 @@ def decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = docs.where(F.col("doc_id") % 97 == 0)
     co = docs.where(F.col("doc_id") % 97 != 0)
     return X.contamination_report(co, ev, "text", "doc_id", n=3, min_shared=2)
+
+
+@register(
+    "token_budget_selection",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOKS} AS toks FROM documents
+    ), m AS (
+      SELECT doc_id, len(toks) AS nt,
+             length(regexp_replace(lower(text), '[a-z0-9 \\t\\n]', '', 'g'))
+               / greatest(length(lower(text)), 1) AS punct,
+             len(list_filter(toks, x -> list_contains({_SW_LIST}, x)))
+               / len(toks) AS sw
+      FROM t
+    ), d AS (
+      SELECT doc_id, nt,
+             ROUND(least(nt / 100.0, 1.0) * (1.0 - punct)
+                   * (CASE WHEN sw >= 0.01 AND sw <= 0.6
+                      THEN 1.0 ELSE 0.5 END), 3) AS qb
+      FROM m
+    ), b AS (
+      SELECT qb, SUM(nt) AS bt FROM d GROUP BY qb
+    ), c AS (
+      SELECT qb,
+             SUM(bt) OVER (ORDER BY qb DESC ROWS UNBOUNDED PRECEDING)
+                 AS cum,
+             SUM(bt) OVER () AS tot
+      FROM b
+    ), sel AS (
+      SELECT qb FROM c WHERE cum <= 0.4 * tot
+    )
+    SELECT (d.qb IN (SELECT qb FROM sel)) AS selected,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(d.nt) AS BIGINT) AS n_tokens
+    FROM d
+    GROUP BY 1
+    """,
+    doc="Token-budget corpus selection: highest-quality documents kept "
+        "until 40% of the corpus token count is filled, bucket-granular "
+        "cutoff from a tiny quality-bucket cumsum (no global sort) — "
+        "the FineWeb-style quality curation step.",
+    tags=("text", "quality", "sampling"),
+)
+def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sel = X.token_budget_select(docs, "text", "doc_id",
+                                budget_frac=0.4, bucket_dp=3)
+    return sel.groupBy("selected").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+    )
