@@ -37,6 +37,9 @@ EXPOSED_STANDALONE: tuple[str, ...] = (
     "minhash_candidates",
     "pack_sequences_summary",
     "pricing_summary",
+    "q7_volume_shipping",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
     "semi_join_full_years",
     "sessionize_events",
     "source_mixture_sample",
