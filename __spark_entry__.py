@@ -56,5 +56,9 @@ def _apply_session_conf(spark: SparkSession) -> None:
     try:
         spark.conf.set("spark.sql.ansi.enabled", "false")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Belt-and-braces vs _normalize_ts: read parquet timestamp[us]
+        # (no TZ) as session-TZ TIMESTAMP, not TIMESTAMP_NTZ, so
+        # unix_millis/withWatermark work on driver-provided sessions too.
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     except Exception:
         pass  # non-settable on some builds; queries avoid depending on it

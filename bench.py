@@ -83,18 +83,31 @@ def main() -> None:
     # a transient background-load spike then degrades at most one run
     # of each query instead of all N runs of whichever query it
     # coincides with — min-of-N stays meaningful on a shared machine.
+    # Each timed run is error-isolated: one broken query records as
+    # "failed" in the JSON instead of killing the whole artifact (r3
+    # lesson — a single AnalysisException zeroed out the round's bench).
     all_times: dict[str, list[float]] = {n: [] for n in bench_queries}
+    failures: dict[str, str] = {}
     t_all = time.perf_counter()
     for _ in range(max(runs, 1)):
         for name, q in bench_queries.items():
+            if name in failures:
+                continue
             t0 = time.perf_counter()
-            df = q.fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
+            try:
+                df = q.fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+            except Exception as exc:
+                failures[name] = f"{type(exc).__name__}: {exc}"[:300]
+                print(f"# FAILED {name}: {failures[name]}", file=sys.stderr)
+                continue
             all_times[name].append(time.perf_counter() - t0)
 
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     for name, times in all_times.items():
+        if not times:
+            continue
         best = min(times)
         timings[name] = round(best, 3)
         # Run-to-run spread: (max-min)/min across the repeats — a noisy
@@ -124,6 +137,7 @@ def main() -> None:
                 "max_spread_pct": round(max(spreads.values()) * 100, 1)
                 if spreads
                 else 0.0,
+                "failed": failures,
             }
         )
     )

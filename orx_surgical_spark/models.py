@@ -32,16 +32,41 @@ from pyspark.sql import functions as F
 from orx_surgical_spark.operators.encoders import assemble_features, hash_fraction
 
 
+def _strip_summary(model):
+    """Drop the fitted model's training summary (best-effort).
+
+    MLlib training summaries (``LinearRegressionTrainingSummary``,
+    ``BinaryLogisticRegressionTrainingSummaryImpl``) hold a live
+    SparkSession reference; a transform UDF closure that captures the
+    model then drags ``ObservationManager`` (non-serializable) into any
+    task re-serialization — Arrow collects and checkpoints fail with
+    ``Task not serializable`` depending on session state.  The catalog
+    never reads summaries, so clear them right after fit.
+    """
+    try:
+        jvm = model._java_obj._sc._jvm if hasattr(model._java_obj, "_sc") else None
+    except Exception:
+        jvm = None
+    try:
+        from pyspark import SparkContext
+
+        jvm = jvm or SparkContext._active_spark_context._jvm
+        model._java_obj.setSummary(jvm.scala.Option.empty())
+    except Exception:
+        pass  # connect-mode or API drift: summary stays, transforms still work
+    return model
+
+
 def lasso_regression(train: DataFrame, features_col: str = "features",
                      label_col: str = "label", reg: float = 0.001):
     """F1: L1-regularized linear scorer (reference ``Lasso(alpha=0.001)``,
     ``ml_models.ipynb:56 (cell 2)``)."""
     from pyspark.ml.regression import LinearRegression
 
-    return LinearRegression(
+    return _strip_summary(LinearRegression(
         featuresCol=features_col, labelCol=label_col,
         regParam=reg, elasticNetParam=1.0, maxIter=50,
-    ).fit(train)
+    ).fit(train))
 
 
 def random_forest_regression(train: DataFrame, features_col: str = "features",
@@ -53,11 +78,11 @@ def random_forest_regression(train: DataFrame, features_col: str = "features",
     (cell 4)``).  maxDepth ≤ 30 in Spark — documented deviation."""
     from pyspark.ml.regression import RandomForestRegressor
 
-    return RandomForestRegressor(
+    return _strip_summary(RandomForestRegressor(
         featuresCol=features_col, labelCol=label_col, numTrees=num_trees,
         maxDepth=max_depth, minInstancesPerNode=10,
         featureSubsetStrategy="sqrt", seed=seed,
-    ).fit(train)
+    ).fit(train))
 
 
 def logistic_scorer(train: DataFrame, features_col: str = "features",
@@ -67,9 +92,9 @@ def logistic_scorer(train: DataFrame, features_col: str = "features",
     regression over the same features."""
     from pyspark.ml.classification import LogisticRegression
 
-    return LogisticRegression(
+    return _strip_summary(LogisticRegression(
         featuresCol=features_col, labelCol=label_col, regParam=reg, maxIter=50,
-    ).fit(train)
+    ).fit(train))
 
 
 def mlp_classifier(train: DataFrame, features_col: str = "features",
@@ -85,10 +110,10 @@ def mlp_classifier(train: DataFrame, features_col: str = "features",
     from pyspark.ml.classification import MultilayerPerceptronClassifier
 
     n_in = train.select(features_col).first()[0].size
-    return MultilayerPerceptronClassifier(
+    return _strip_summary(MultilayerPerceptronClassifier(
         featuresCol=features_col, labelCol=label_col,
         layers=[n_in, hidden, 2], seed=seed, maxIter=max_iter,
-    ).fit(train)
+    ).fit(train))
 
 
 def with_event_features(events: DataFrame, out: str = "features") -> DataFrame:

@@ -138,6 +138,38 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
 
 
+@register(
+    "ngram_jaccard_blocked",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, {_TOKS} AS toks FROM documents
+    ), s AS (
+      SELECT doc_id, lang, {_SHINGLES} AS sh FROM t
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             ROUND(
+               CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+                    ELSE len(list_intersect(a.sh, b.sh)) * 1.0
+                         / len(list_distinct(list_concat(a.sh, b.sh)))
+               END, 6) AS jaccard
+      FROM s a JOIN s b ON a.lang = b.lang
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5
+    """,
+    doc="Exact 3-gram-shingle Jaccard near-dup pairs, lang-blocked: the "
+        "pair join keys on the language column, so each block shuffles "
+        "to its own reducers and cross-block pairs never materialize — "
+        "the shape you'd run at 100 TB (near-dups across languages are "
+        "not meaningful for shingle Jaccard). The unblocked exact "
+        "baseline stays registry-internal.",
+    tags=("dedup", "jaccard"),
+)
+def ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    return D.ngram_jaccard_pairs(docs, n=3, threshold=0.5, block_col="lang")
+
+
 def _simhash_oracle() -> str:
     bit_sums = []
     for b in range(16):

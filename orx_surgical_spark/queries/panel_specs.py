@@ -32,7 +32,6 @@ EXPOSED_STANDALONE: tuple[str, ...] = (
     "doc_repetition_stats",
     "embedding_quantize_int8",
     "embedding_neardup_blocked",
-    "join_customer_orders",
     "mhe_sparse_indices",
     "minhash_candidates",
     "pack_sequences_summary",
@@ -59,8 +58,12 @@ ORACLE_PANELS: dict[str, tuple[str, ...]] = {
         "filter_in_range",
         "label_binarize",
     ),
+    # join_customer_orders moved here from EXPOSED_STANDALONE (r4): the
+    # model-panel split raised the exposed count past the driver's ~50
+    # check limit; the panel keeps it fully hash-checked.
     "panel_relational_join": (
         "join_3way_region",
+        "join_customer_orders",
         "anti_join_no_orders",
         "lookup_join_default",
         "distinct_segments",
@@ -145,11 +148,14 @@ ORACLE_PANELS: dict[str, tuple[str, ...]] = {
         "doc_fingerprint",
         "bpe_token_stats",
     ),
+    # ngram_jaccard_blocked (not the unblocked _pairs): the exposed
+    # surface exercises the scale-safe shape; the all-pairs exact
+    # baseline stays registry-internal (r4, VERDICT r3 #4).
     "panel_text_fingerprint": (
         "winnowing_fingerprints",
         "tfidf_top_terms",
         "simhash_docs",
-        "ngram_jaccard_pairs",
+        "ngram_jaccard_blocked",
         "fuzzy_type_pairs",
     ),
     "panel_dedup": (
@@ -158,9 +164,11 @@ ORACLE_PANELS: dict[str, tuple[str, ...]] = {
         "lsh_verified_pairs",
         "doc_lang_components",
     ),
+    # embedding_neardup_blocked (not _exact): no CartesianProduct in any
+    # exposed plan; the quadratic exact baseline stays registry-internal.
     "panel_similarity": (
         "knn_label_vote",
-        "embedding_neardup_exact",
+        "embedding_neardup_blocked",
         "array_hof_embedding_stats",
     ),
     "panel_multimodal": (
@@ -182,11 +190,21 @@ ORACLE_PANELS: dict[str, tuple[str, ...]] = {
 # internals, seeded JVM hashing, stubbed media decode); the driver
 # records the weaker rows-only check for the whole group in one slot.
 ROWS_ONLY_PANELS: dict[str, tuple[str, ...]] = {
-    "panel_model_scores": (
+    # The model panel is split in three and its members are materialized
+    # eagerly (EAGER_PANELS below): the single six-member union ERR'd in
+    # the driver's long-lived session (r2+r3) while passing standalone —
+    # six MLlib fits + transforms co-executing inside one UnionExec under
+    # accumulated session memory pressure. Smaller unions + per-member
+    # localCheckpoint keep each model's job isolated.
+    "panel_model_scores_a": (
         "lasso_scores",
         "logreg_scores",
+    ),
+    "panel_model_scores_b": (
         "mlp_scores",
         "rf_scores",
+    ),
+    "panel_model_scores_c": (
         "cv_fold_stats",
         "positive_probe",
     ),
@@ -209,3 +227,10 @@ ROWS_ONLY_PANELS: dict[str, tuple[str, ...]] = {
 }
 
 ALL_PANELS: dict[str, tuple[str, ...]] = {**ORACLE_PANELS, **ROWS_ONLY_PANELS}
+
+# Panels whose members are materialized one-by-one (localCheckpoint)
+# before the union: keeps heavyweight member plans (MLlib model
+# transforms) from co-executing inside a single UnionExec job.
+EAGER_PANELS: frozenset[str] = frozenset(
+    {"panel_model_scores_a", "panel_model_scores_b", "panel_model_scores_c"}
+)

@@ -43,6 +43,7 @@ from orx_surgical_spark.queries.catalog import REGISTRY, register
 from orx_surgical_spark.queries.panel_dtypes import PANEL_MEMBER_DTYPES
 from orx_surgical_spark.queries.panel_specs import (
     ALL_PANELS,
+    EAGER_PANELS,
     EXPOSED_STANDALONE,
     ORACLE_PANELS,
     ROWS_ONLY_PANELS,
@@ -116,13 +117,31 @@ def serialize_tall(df: DataFrame, tag: str) -> DataFrame:
     return df.select(F.lit(tag).alias("q"), F.concat_ws("|", *parts).alias("r"))
 
 
-def panel_fn(members: tuple[str, ...]):
-    """Composite query callable: run + serialize + union each member."""
+def panel_fn(members: tuple[str, ...], eager: bool = False):
+    """Composite query callable: run + serialize + union each member.
+
+    ``eager=True`` materializes each member (Arrow round-trip to a
+    LocalRelation) before the union: every member runs as its own job
+    and the union sees only its tiny serialized (q, r) strings, so
+    heavyweight plans — MLlib model transforms whose UDF closures drag
+    the fitted model (and, via ``trainingSummary``, a non-serializable
+    SparkSession reference) into any RDD re-serialization — never
+    co-execute inside one UnionExec.  ``localCheckpoint`` is NOT usable
+    here for exactly that reason: its closure cleaning trips over
+    ``BinaryLogisticRegressionTrainingSummaryImpl``.  The round-trip is
+    bounded: these are correctness-panel results (scored test rows at
+    check SF), not a production operator path.
+    """
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         frames = [
             serialize_tall(REGISTRY[m].fn(spark, sf_dir), m) for m in members
         ]
+        if eager:
+            frames = [
+                spark.createDataFrame(f.toPandas(), schema=f.schema)
+                for f in frames
+            ]
         return reduce(DataFrame.unionAll, frames)
 
     return fn
@@ -171,7 +190,7 @@ def _register_panels() -> None:
                 + " (no SQL-expressible oracle; see panel_specs.py)."
             ),
             tags=("panel",),
-        )(panel_fn(members))
+        )(panel_fn(members, eager=name in EAGER_PANELS))
     # Flag the driver-exposed surface: all panels + the standalone set.
     for name in list(ALL_PANELS) + list(EXPOSED_STANDALONE):
         REGISTRY[name] = replace(REGISTRY[name], expose=True)

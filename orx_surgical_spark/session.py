@@ -69,6 +69,10 @@ def get_spark(
         # Spark has no nanosecond timestamp type; read TIMESTAMP(NANOS)
         # parquet columns as raw int64 and convert at load (sources.readers).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Read parquet timestamp-without-TZ columns as session-TZ TIMESTAMP,
+        # not TIMESTAMP_NTZ (NTZ rejects unix_millis/withWatermark); with
+        # the UTC session TZ the instants match DuckDB's read byte-for-byte.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -52,19 +52,37 @@ def read_csv(
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver-generated synthetic table (TESTDATA.md).
 
-    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark reads as int64
-    nanoseconds under ``spark.sql.legacy.parquet.nanosAsLong``; convert to
-    a microsecond TimestampType here (integer division — matches DuckDB's
-    nanos->micros truncation).
+    ``events.ts`` has shipped in two encodings across data regenerations:
+    TIMESTAMP(NANOS) (read as int64 nanos under
+    ``spark.sql.legacy.parquet.nanosAsLong``) and plain ``timestamp[us]``
+    (read as TIMESTAMP_NTZ when ``inferTimestampNTZ`` is on).  Both are
+    normalized to session-TZ TimestampType here so every downstream
+    operator (``unix_millis``, ``withWatermark``, window functions) sees
+    one type regardless of the file encoding.
     """
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        from pyspark.sql import functions as F
+    return _normalize_ts(df) if name == "events" else df
 
-        # Integer division (`div`), NOT `/` + floor: `/` promotes to double,
-        # and int64 epoch-nanos exceed the 53-bit double mantissa, so the
-        # floor lands 1µs off on a measurable fraction of rows.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+def _normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize the events timestamp column to TimestampType (LTZ).
+
+    - ``bigint``: int64 epoch-nanos (legacy ``nanosAsLong`` read).  Integer
+      division (`div`), NOT `/` + floor: `/` promotes to double, and int64
+      epoch-nanos exceed the 53-bit double mantissa, so the floor lands
+      1µs off on a measurable fraction of rows.
+    - ``timestamp_ntz``: parquet ``timestamp[us]`` without timezone.  With
+      the UTC session TZ the cast is instant-identical to DuckDB's read
+      of the same file; NTZ would otherwise reject ``unix_millis`` /
+      ``withWatermark`` (they require TIMESTAMP).
+    """
+    from pyspark.sql import functions as F
+
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    elif dtype == "timestamp_ntz":
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

@@ -33,12 +33,15 @@ def read_events_stream(
     """File-source stream over the events parquet.
 
     ``readStream`` needs a declared schema — taken from a batch probe of
-    the same path (schema-on-read, one footer).  The TIMESTAMP(NANOS)
-    column arrives as int64 under ``nanosAsLong`` and is converted to a
-    microsecond timestamp exactly like the batch reader
-    (:func:`orx_surgical_spark.sources.load_table`), so stream and batch
-    plans see identical types.
+    the same path (schema-on-read, one footer).  The ``ts`` column is
+    normalized to TimestampType exactly like the batch reader
+    (:func:`orx_surgical_spark.sources.readers._normalize_ts` handles both
+    the int64-nanos and TIMESTAMP_NTZ file encodings), so stream and
+    batch plans see identical types and ``withWatermark`` (which rejects
+    NTZ) always gets a TIMESTAMP.
     """
+    from orx_surgical_spark.sources.readers import _normalize_ts
+
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
     # The file stream source wants a directory; select the one file (or,
@@ -46,12 +49,7 @@ def read_events_stream(
     reader = spark.readStream.schema(schema).option("pathGlobFilter", "events.parquet")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    df = reader.parquet(sf_dir)
-    if dict(df.dtypes).get("ts") == "bigint":
-        # Integer `div`, not `/` + floor — see load_table: double division
-        # loses int64 epoch-nano precision (off-by-1µs rows).
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return _normalize_ts(reader.parquet(sf_dir))
 
 
 def windowed_counts(

@@ -111,3 +111,42 @@ def test_custom_python_datasource_partitioned_deterministic(spark):
     again = {r["media_id"]: r for r in spark.read.format("orx_media")
              .option("shards", 3).option("rowspershard", 20).load().collect()}
     assert all(by_id[i]["payload"] == again[i]["payload"] for i in by_id)
+
+
+def test_events_ts_dtype_pinned(spark, sf_dir):
+    """Pin events.ts to TimestampType regardless of the parquet file
+    encoding (int64-nanos under nanosAsLong, or timestamp[us] read as
+    TIMESTAMP_NTZ).  The r3 testdata regeneration flipped the encoding
+    and silently broke every unix_millis/withWatermark consumer — this
+    pin makes the next flip a loud local failure."""
+    from orx_surgical_spark.sources.readers import load_table
+
+    df = load_table(spark, sf_dir, "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+
+
+def test_normalize_ts_handles_ntz_and_bigint(spark):
+    """_normalize_ts converts both known encodings; instants match what
+    DuckDB reads from the same values (epoch micros preserved exactly)."""
+    from pyspark.sql import functions as F
+
+    from orx_surgical_spark.sources.readers import _normalize_ts
+
+    micros = [0, 1_700_000_000_123_456, 1_700_000_000_123_457]
+    ntz = spark.createDataFrame([(m,) for m in micros], "us bigint").select(
+        F.timestamp_micros(F.col("us")).cast("timestamp_ntz").alias("ts")
+    )
+    assert dict(ntz.dtypes)["ts"] == "timestamp_ntz"
+    fixed = _normalize_ts(ntz)
+    assert dict(fixed.dtypes)["ts"] == "timestamp"
+    got = [r["us"] for r in fixed.select(F.unix_micros("ts").alias("us")).collect()]
+    assert sorted(got) == micros
+
+    nanos = spark.createDataFrame(
+        [(m * 1000 + 999,) for m in micros], "ts bigint"
+    )
+    fixed2 = _normalize_ts(nanos)
+    assert dict(fixed2.dtypes)["ts"] == "timestamp"
+    got2 = [r["us"] for r in fixed2.select(F.unix_micros("ts").alias("us")).collect()]
+    # nanos -> micros truncates (div 1000), matching DuckDB.
+    assert sorted(got2) == micros

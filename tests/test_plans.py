@@ -159,3 +159,30 @@ def test_repetition_stats_keys_on_doc_and_gram(spark, sf_dir):
     # task bounded by one document's gram table.
     assert "hashpartitioning(doc_id" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_no_cartesian_product_in_exposed_plans(spark, sf_dir):
+    """Every driver-exposed entry must plan without a CartesianProduct:
+    quadratic all-pairs shapes over unbounded inputs are kept
+    registry-internal (exact baselines: embedding_neardup_exact,
+    unblocked ngram_jaccard_pairs), never in the checked surface.
+
+    BroadcastNestedLoopJoin is allowed: every occurrence in the exposed
+    surface has a BOUNDED broadcast side — scalar-subquery one-row sides
+    (q22 avg acctbal, date-spine min/max, dq report totals), the fixed
+    150-value p_type vocabulary (fuzzy_type_pairs), or the 8-centroid
+    set (ann_ivf_topk) — all O(1) in the fact-table size.
+
+    Streaming panels are skipped (plan_str needs a batch plan; their
+    members are watermark-keyed joins, not cross joins)."""
+    from orx_surgical_spark.queries.catalog import exposed
+
+    skip = {"panel_stream_agg", "panel_stream_join"}
+    offenders = []
+    for name, q in exposed().items():
+        if name in skip:
+            continue
+        plan = plan_str(q.fn(spark, sf_dir))
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert offenders == []
