@@ -121,22 +121,51 @@ def stratified_split_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mhe_vectors",
-    oracle=None,  # SparseVector payload (MLlib type) -> rows-only check
+    oracle="""
+    WITH vocab AS (
+      SELECT event_type,
+             CAST(ROW_NUMBER() OVER (ORDER BY event_type) - 1 AS INTEGER) AS cat_idx
+      FROM (SELECT DISTINCT event_type FROM events)
+    ), n AS (
+      SELECT COUNT(*) AS n_cats FROM vocab
+    ), cells AS (
+      SELECT DISTINCT e.user_id,
+             CAST((dayofyear(e.ts) - 1) * n.n_cats + v.cat_idx AS INTEGER)
+               AS mhe_idx
+      FROM events e
+      JOIN vocab v USING (event_type)
+      CROSS JOIN n
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS INTEGER) AS n_active,
+           STRING_AGG(CAST(mhe_idx AS VARCHAR), ',' ORDER BY mhe_idx) AS idx_csv
+    FROM cells GROUP BY user_id
+    """,
     doc="E4 model-ready tier: one SparseVector(366*|vocab|) per user "
         "packed by an Arrow-batched pandas UDF from the sparse index "
-        "set; returns (user_id, n_active) with the vector size.",
+        "set. The driver-checked surface decodes the vector back to its "
+        "active-index list JVM-side (vector_to_array + higher-order "
+        "filter) and canonicalizes it to a comma-joined string, so the "
+        "oracle pins the exact vector content — indices, order, count — "
+        "not just row shape (r5; previously rows-only).",
     tags=("E4",),
 )
 def mhe_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     vecs = E.mhe_sparse_vectors(ev, ["user_id"], "ts", "event_type")
-    # Surface scalar evidence of the vectors (driver checks rows/schema).
     from pyspark.ml.functions import vector_to_array
 
+    arr = vector_to_array("features")
+    idxs = F.filter(
+        F.transform(arr, lambda x, i: F.when(x != 0, i)),
+        lambda v: v.isNotNull(),
+    )
     return vecs.select(
         "user_id",
-        F.size(F.filter(vector_to_array("features"), lambda x: x != 0))
-        .alias("n_active"),
+        F.size(idxs).alias("n_active"),
+        F.array_join(F.transform(idxs, lambda i: i.cast("string")), ",").alias(
+            "idx_csv"
+        ),
     )
 
 
@@ -166,11 +195,32 @@ def seeded_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "occurrence_vectors_cv",
-    oracle=None,  # CountVectorizer vocabulary order is frequency-based
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS token
+      FROM documents
+    ), dt AS (
+      SELECT DISTINCT doc_id, token FROM toks
+    ), v AS (
+      SELECT CAST(COUNT(DISTINCT token) AS INTEGER) AS vocab_size FROM dt
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS INTEGER) AS n_active,
+           (SELECT vocab_size FROM v) AS vocab_size,
+           STRING_AGG(token, ',' ORDER BY token) AS token_csv
+    FROM dt GROUP BY doc_id
+    """,
     doc="E1 sparse tier: CountVectorizer(binary=True) multi-hot "
         "occurrence vectors over document tokens (replaces the "
-        "reference's O(n*|vocab|) np.isin loop, cms_preprocess.py:232); "
-        "returns (doc_id, n_active, vocab_size).",
+        "reference's O(n*|vocab|) np.isin loop, cms_preprocess.py:232). "
+        "CountVectorizer orders its vocabulary by frequency (untestable "
+        "across engines), so the driver-checked surface maps each "
+        "vector's active indices back to their *tokens* via a broadcast "
+        "join with the fitted vocabulary and canonicalizes the sorted "
+        "token set to a comma-joined string — vocabulary-order-free, so "
+        "a DuckDB oracle can pin the exact per-doc vector content (r5; "
+        "previously rows-only).",
     tags=("E1", "D3"),
 )
 def occurrence_vectors_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -178,14 +228,28 @@ def occurrence_vectors_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("codes")
     )
-    model, out = E.binary_occurrence_vectors(toks, "codes")
+    # Cap far above any realistic doc-token vocabulary so membership is
+    # deterministic (the truncated top-N tie-break would not be).
+    model, out = E.binary_occurrence_vectors(toks, "codes", vocab_size=1 << 18)
     from pyspark.ml.functions import vector_to_array
 
-    return out.select(
-        "doc_id",
-        F.size(F.filter(vector_to_array("features"), lambda x: x != 0))
-        .alias("n_active"),
+    vocab_df = F.broadcast(
+        docs.sparkSession.createDataFrame(
+            list(enumerate(model.vocabulary)), "idx INT, token STRING"
+        )
+    )
+    arr = vector_to_array("features")
+    idxs = F.filter(
+        F.transform(arr, lambda x, i: F.when(x != 0, i)),
+        lambda v: v.isNotNull(),
+    )
+    active = out.select(
+        "doc_id", F.explode(idxs).alias("idx")
+    ).join(vocab_df, "idx")
+    return active.groupBy("doc_id").agg(
+        F.size(F.collect_set("token")).alias("n_active"),
         F.lit(len(model.vocabulary)).alias("vocab_size"),
+        F.array_join(F.sort_array(F.collect_set("token")), ",").alias("token_csv"),
     )
 
 

@@ -332,17 +332,79 @@ def doc_lang_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labeled.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
 
 
+def _pagerank_oracle_sql(n_iter: int = 10) -> str:
+    """DuckDB oracle for :func:`doc_graph_pagerank`: the 10 power steps
+    unrolled as chained CTEs (DuckDB's recursive CTEs allow only one
+    reference to the recursive table, but each PageRank step needs the
+    previous ranks twice — contribution join + dangling-mass scalar).
+    Each step CTE is ``AS MATERIALIZED``: DuckDB otherwise inlines CTEs,
+    and the double self-reference would expand the chain 2^10-fold.
+
+    Float parity: every literal is CAST to DOUBLE (DuckDB parses ``0.85``
+    as DECIMAL, whose exact arithmetic would diverge from IEEE doubles
+    and change the result *schema*), and the expression tree mirrors the
+    Spark operator's association order. Residual cross-engine error is
+    summation order (~1e-16 absolute), eight orders below the 1e-8
+    rounding grain of the final ROUND(rank, 8).
+    """
+    step = """
+    r{k} AS MATERIALIZED (
+      SELECT f.node, f.out_deg,
+             ((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+              + (CAST(0.85 AS DOUBLE)
+                 * (SELECT COALESCE(SUM(p.rank), CAST(0 AS DOUBLE))
+                    FROM r{prev} p WHERE p.out_deg IS NULL))
+                / (SELECT n FROM nn))
+             + CAST(0.85 AS DOUBLE) * COALESCE(c.contrib, CAST(0 AS DOUBLE))
+               AS rank
+      FROM flagged f
+      LEFT JOIN (
+        SELECT e.dst AS node, SUM(p.rank / p.out_deg) AS contrib
+        FROM dedges e JOIN r{prev} p
+          ON p.node = e.src AND p.out_deg IS NOT NULL
+        GROUP BY e.dst
+      ) c ON c.node = f.node
+    )"""
+    steps = ",".join(step.format(k=k, prev=k - 1) for k in range(1, n_iter + 1))
+    return f"""
+    WITH edges AS (
+      SELECT d1.doc_id AS src, d2.doc_id AS dst
+      FROM documents d1
+      JOIN documents d2 ON d2.doc_id = d1.doc_id + 1 AND d2.lang = d1.lang
+    ),
+    dedges AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges),
+    nodes AS (SELECT src AS node FROM dedges UNION SELECT dst FROM dedges),
+    deg AS (
+      SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS out_deg
+      FROM dedges GROUP BY src
+    ),
+    flagged AS MATERIALIZED (
+      SELECT n.node, d.out_deg FROM nodes n LEFT JOIN deg d USING (node)
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM flagged),
+    r0 AS MATERIALIZED (
+      SELECT node, out_deg, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank
+      FROM flagged
+    ),{steps}
+    SELECT CAST(node AS BIGINT) AS node, ROUND(rank, 8) AS rank
+    FROM r{n_iter}
+    ORDER BY ROUND(rank, 8) DESC, node
+    LIMIT 20
+    """
+
+
 @register(
     "doc_graph_pagerank",
-    oracle=None,  # iterative algorithm; NumPy-verified in tests/test_graph.py
+    oracle=_pagerank_oracle_sql(),
     doc="PageRank (operators.graph.pagerank, 10 power iterations, "
         "d=0.85) over the directed doc-succession graph (doc_id -> next "
         "doc_id sharing a lang). Top 20 nodes by rank; ranks rounded and "
         "tie-broken on node id so the row set is deterministic. The "
         "per-iteration plan is one key-reused join + one hash aggregate "
         "(see operator docstring for the 100 TB shape); correctness is "
-        "pinned by the NumPy power-iteration cross-check in "
-        "tests/test_graph.py.",
+        "pinned both by the NumPy power-iteration cross-check in "
+        "tests/test_graph.py and, since r5, by a DuckDB oracle with the "
+        "10 power steps unrolled as chained CTEs.",
     tags=("graph", "pagerank"),
 )
 def doc_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:

