@@ -1,0 +1,112 @@
+"""Driver-context soak: every exposed query, one long-lived session.
+
+The grading driver runs all ~50 exposed queries sequentially inside a
+SINGLE vanilla SparkSession. That execution pattern is the only thing
+that ever reproduced the r2/r3 `panel_model_scores` failure — each
+query passed standalone, but the panel died after 20+ queries of
+accumulated session state. This script replays exactly that pattern
+locally so context-dependent failures surface before the driver finds
+them:
+
+1. a vanilla SparkSession (driver parity: ANSI on, no repo confs —
+   ``__spark_entry__``'s per-query ``_apply_session_conf`` is the only
+   conf path, same as in the driver);
+2. ``entry(spark)`` smoke check;
+3. every ``queries()`` entry, alphabetically (the driver's round-1
+   recorded order), ``.collect()``-ed like the driver does;
+4. the bench headliners once more at the END of the session, when
+   accumulated state is maximal.
+
+Usage (default sf0.01, the driver's correctness scale)::
+
+    python scripts/soak.py [--sf-dir /root/testdata/sf0.01]
+
+Exit code 0 iff every query returns rows without raising. Run before
+committing changes to models.py, panels.py, or panel_specs.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    # Vanilla session on purpose — see module docstring.
+    spark = (
+        SparkSession.builder.master(f"local[{args.cpus}]")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+
+    failures: list[str] = []
+    t0 = time.monotonic()
+
+    try:
+        n = entry_mod.entry(spark).count()
+        print(f"[soak] entry: {n} rows", flush=True)
+    except Exception:
+        traceback.print_exc()
+        failures.append("entry")
+
+    qs = entry_mod.queries()
+    for i, name in enumerate(sorted(qs), 1):
+        t = time.monotonic()
+        try:
+            rows = qs[name](spark, args.sf_dir).collect()
+            print(
+                f"[soak] {i:2d}/{len(qs)} {name}: {len(rows)} rows "
+                f"({time.monotonic() - t:.1f}s)",
+                flush=True,
+            )
+        except Exception:
+            traceback.print_exc()
+            failures.append(name)
+            print(f"[soak] {i:2d}/{len(qs)} {name}: FAILED", flush=True)
+
+    # Bench headliners again at max accumulated session state.
+    from orx_surgical_spark.queries.catalog import REGISTRY
+
+    headliners = sorted(n for n, q in REGISTRY.items() if q.bench)
+    for name in headliners:
+        t = time.monotonic()
+        try:
+            rows = REGISTRY[name].fn(spark, args.sf_dir).collect()
+            print(
+                f"[soak] late/{name}: {len(rows)} rows "
+                f"({time.monotonic() - t:.1f}s)",
+                flush=True,
+            )
+        except Exception:
+            traceback.print_exc()
+            failures.append(f"late/{name}")
+
+    total = time.monotonic() - t0
+    if failures:
+        print(f"[soak] FAILED after {total:.0f}s: {failures}", flush=True)
+        return 1
+    print(
+        f"[soak] OK: {len(qs)} exposed + {len(headliners)} late headliners "
+        f"in one session, {total:.0f}s",
+        flush=True,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
