@@ -61,11 +61,13 @@ def main() -> None:
             except Exception as exc:  # warmup must never fail the bench
                 print(f"# warmup {name} failed: {exc}", file=sys.stderr)
 
-    # Best-of-N per query (N = SPARK_GRAFT_BENCH_RUNS, default 3): the
-    # repeat runs reuse compiled codegen and
-    # warmed file/footer caches, so min-of-runs reports steady-state
-    # throughput with less scheduler noise.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # Best-of-N per query (N = SPARK_GRAFT_BENCH_RUNS, default 5): the
+    # repeat runs reuse compiled codegen and warmed file/footer caches,
+    # so min-of-runs reports steady-state throughput with less scheduler
+    # noise. 5 runs (up from 3 in r4) makes the median-based spread
+    # meaningful: with co-located load stalling ~1 run in 6 (measured
+    # r5), 3 runs left the median itself contaminated too often.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
 
     # One untimed run per query at the TARGET scale first: the sf0.001
     # warmup above compiles codegen, but scale-dependent state (parquet
@@ -105,17 +107,29 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    worst: dict[str, float] = {}
     for name, times in all_times.items():
-        if not times:
+        # A query that succeeded on an early run but failed later must
+        # not look healthy to a consumer reading `queries` alone:
+        # `failed` takes precedence, so drop its partial timings.
+        if not times or name in failures:
             continue
         best = min(times)
         timings[name] = round(best, 3)
-        # Run-to-run spread: (max-min)/min across the repeats — a noisy
-        # machine (background load) shows up here, so readers can tell
-        # plan regressions from scheduler jitter.
-        spreads[name] = round((max(times) - best) / best, 3) if best > 0 else 0.0
+        # Run-to-run spread: (median-min)/min — steady-state
+        # repeatability of the plan. The r4 investigation showed the
+        # max-based spread was dominated by single multi-second stalls
+        # from co-located machine load (arbitrary queries, 300-870%,
+        # JVM GC measured at <100 ms, not positional): one contaminated
+        # run out of N says nothing about the plan, so the headline
+        # spread is outlier-robust and the worst run is reported
+        # separately in worst_run_pct rather than silently dropped.
+        med = sorted(times)[len(times) // 2]
+        spreads[name] = round((med - best) / best, 3) if best > 0 else 0.0
+        worst[name] = round((max(times) - best) / best, 3) if best > 0 else 0.0
         print(
-            f"# {name}: {timings[name]:.3f}s (spread {spreads[name]:.1%})",
+            f"# {name}: {timings[name]:.3f}s (spread {spreads[name]:.1%}, "
+            f"worst {worst[name]:.1%})",
             file=sys.stderr,
         )
     total = round(sum(timings.values()), 3)
@@ -137,6 +151,8 @@ def main() -> None:
                 "max_spread_pct": round(max(spreads.values()) * 100, 1)
                 if spreads
                 else 0.0,
+                "worst_run_pct": {n: round(w * 100, 1) for n, w in worst.items()},
+                "loadavg_1m": round(os.getloadavg()[0], 2),
                 "failed": failures,
             }
         )
