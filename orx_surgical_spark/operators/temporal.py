@@ -28,6 +28,7 @@ def asof_join(
     right_ts: str,
     value_cols: Sequence[str],
     prefix: str = "asof_",
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """For each left row, attach the latest right row with
     ``right.ts <= left.ts`` for the same key (LEFT ASOF JOIN).
@@ -38,24 +39,38 @@ def asof_join(
     key, no join operator at all — the classic scalable as-of shape.
     Ties (equal timestamps) match, like DuckDB/kdb ``asof``.
 
-    Precondition: the right side must be unique per (key, ts) — the
-    window orders only by (ts, source-tag), so among multiple right
-    rows at the same instant ``last(ignorenulls)`` would pick an
-    arbitrary one. Pre-aggregate duplicates (e.g. keep the max/latest
-    value per (key, ts)) before calling, as the catalog queries do.
+    Duplicate right rows per (key, ts): without ``tiebreak``, the
+    PRECONDITION is that the right side is unique per (key, ts) — the
+    window orders only by (ts, source-tag), so among several right rows
+    at the same instant ``last(ignorenulls)`` picks whichever sorted
+    last, which is plan/partitioning-dependent (all ``value_cols`` do
+    come from that same single row — every ``last`` reads one shared
+    sorted partition — but *which* row it is can change run to run).
+    Either pre-aggregate duplicates (e.g. keep the max/latest value per
+    (key, ts)) before calling, as the catalog queries do, or pass
+    ``tiebreak``: a right-side column appended to the window order, so
+    the greatest-``tiebreak`` duplicate deterministically wins. Pinned
+    by ``tests/test_temporal.py::
+    test_asof_duplicate_ts_deterministic_with_tiebreak``.
     """
+    if tiebreak is not None and tiebreak not in right.columns:
+        raise ValueError(f"tiebreak column {tiebreak!r} not in right side")
     l = left.withColumn("__src", F.lit(1))
     for c in value_cols:
         l = l.withColumn(f"__v_{c}", F.lit(None).cast(dict(right.dtypes)[c]))
+    tb_type = dict(right.dtypes)[tiebreak] if tiebreak is not None else "int"
+    l = l.withColumn("__tb", F.lit(None).cast(tb_type))
     r = right.select(
         F.col(on),
         F.col(right_ts).alias(left_ts),
         F.lit(0).alias("__src"),
+        (F.col(tiebreak) if tiebreak is not None else F.lit(None).cast("int"))
+        .alias("__tb"),
         *[F.col(c).alias(f"__v_{c}") for c in value_cols],
     )
     left_types = dict(left.dtypes)
     unioned = l.select(
-        *left.columns, "__src", *[f"__v_{c}" for c in value_cols]
+        *left.columns, "__src", "__tb", *[f"__v_{c}" for c in value_cols]
     ).unionByName(
         r.select(
             *[
@@ -65,14 +80,19 @@ def asof_join(
                 for c in left.columns
             ],
             "__src",
+            "__tb",
             *[f"__v_{c}" for c in value_cols],
         ),
         allowMissingColumns=False,
     )
-    # right rows sort before left rows at equal ts, so ties match.
+    # right rows sort before left rows at equal ts, so ties match; among
+    # equal-(ts) right rows the greatest __tb sorts last and wins (the
+    # left rows' null __tb is inert: __src already orders them after).
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col(left_ts).asc(), F.col("__src").asc())
+        .orderBy(
+            F.col(left_ts).asc(), F.col("__src").asc(), F.col("__tb").asc()
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
@@ -83,7 +103,7 @@ def asof_join(
         ],
     )
     return carried.filter(F.col("__src") == 1).drop(
-        "__src", *[f"__v_{c}" for c in value_cols]
+        "__src", "__tb", *[f"__v_{c}" for c in value_cols]
     )
 
 

@@ -72,3 +72,45 @@ def test_range_join_finds_pairs_regardless_of_id_order(spark):
     ).collect()
     assert len(rows) == 1
     assert (rows[0]["id_a"], rows[0]["id_b"]) == (50, 200)
+
+def test_asof_duplicate_ts_deterministic_with_tiebreak(spark):
+    """Duplicate right rows at the same (key, ts): with ``tiebreak`` the
+    greatest-tiebreak duplicate must win, for every value column from
+    the same winning row, regardless of input partitioning."""
+    left = _ts(
+        spark,
+        [(1, "2024-01-01 10:00:00", "L1")],
+        "k long, ts string, lid string",
+    )
+    dup_rows = [
+        (1, "2024-01-01 09:00:00", 10.0, "a", 1),
+        (1, "2024-01-01 09:00:00", 20.0, "b", 3),  # greatest seq -> wins
+        (1, "2024-01-01 09:00:00", 30.0, "c", 2),
+    ]
+    right = _ts(spark, dup_rows, "k long, ts string, v double, tag string, seq int")
+    for n_parts in (1, 3, 7):
+        out = asof_join(
+            left,
+            right.repartition(n_parts),
+            on="k",
+            left_ts="ts",
+            right_ts="ts",
+            value_cols=["v", "tag"],
+            tiebreak="seq",
+        ).collect()
+        assert len(out) == 1
+        assert (out[0]["asof_v"], out[0]["asof_tag"]) == (20.0, "b"), (
+            f"partitioning {n_parts}: tie-break not deterministic"
+        )
+
+
+def test_asof_tiebreak_unknown_column_raises(spark):
+    import pytest as _pytest
+
+    left = _ts(spark, [(1, "2024-01-01 10:00:00")], "k long, ts string")
+    right = _ts(spark, [(1, "2024-01-01 09:00:00", 1.0)], "k long, ts string, v double")
+    with _pytest.raises(ValueError, match="tiebreak"):
+        asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            value_cols=["v"], tiebreak="nope",
+        )
