@@ -1,43 +1,88 @@
 """EDA profile report (SURVEY §2-G11) — the ``dataprep.eda
-create_report`` analogue (reference ``dataprep_report.py:16-27``).
+create_report`` analogue (reference ``dataprep_report.py:16-27``,
+which emits univariate AND bivariate sections).
 
-The statistics are one distributed pass of conditional aggregates per
-column (count/nulls/mean/stddev/min/max/median/approx-distinct +
-histogram); only the tiny per-column summary reaches the driver, where
-it renders to HTML.
+All statistics for all columns are ONE distributed aggregate pass
+(count/nulls/mean/stddev/min/max/median/approx-distinct, plus pairwise
+Pearson correlations for the bivariate section); only the tiny summary
+reaches the driver, where it reshapes to tall form and renders to HTML.
+A per-column ``df.agg`` loop would scan the input once per column —
+the difference between 1 and N full-table scans at 100 TB.
 """
 
 from __future__ import annotations
 
+from itertools import combinations
 from collections.abc import Sequence
 from html import escape
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+_STATS = (
+    "n", "n_null", "approx_distinct", "mean", "stddev",
+    "min_val", "median", "max_val",
+)
+
 
 def profile_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     """Per-column univariate profile as one small DataFrame (one row per
-    column).  Numeric columns only."""
-    parts = []
+    column).  Numeric columns only.  One aggregate pass for ALL columns
+    (every stat is a flat-map-side-combinable aggregate), reshaped to
+    tall with ``stack`` on the single result row — no per-column scan,
+    no union of N plans."""
+    aggs = []
     for c in cols:
-        parts.append(
-            df.agg(
-                F.lit(c).alias("column_name"),
-                F.count(c).alias("n"),
-                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias("n_null"),
-                F.approx_count_distinct(c).alias("approx_distinct"),
-                F.round(F.avg(c), 6).alias("mean"),
-                F.round(F.stddev_samp(c), 6).alias("stddev"),
-                F.min(c).alias("min_val"),
-                F.round(F.expr(f"percentile({c}, 0.5)"), 6).alias("median"),
-                F.max(c).alias("max_val"),
-            )
+        aggs += [
+            F.count(c).cast("double").alias(f"n__{c}"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("double").alias(f"n_null__{c}"),
+            F.approx_count_distinct(c).cast("double").alias(f"approx_distinct__{c}"),
+            F.round(F.avg(c), 6).alias(f"mean__{c}"),
+            F.round(F.stddev_samp(c), 6).alias(f"stddev__{c}"),
+            F.min(c).cast("double").alias(f"min_val__{c}"),
+            F.round(F.expr(f"percentile({c}, 0.5)"), 6).alias(f"median__{c}"),
+            F.max(c).cast("double").alias(f"max_val__{c}"),
+        ]
+    wide = df.agg(*aggs)
+    stack = ", ".join(
+        "'{c}', {fields}".format(
+            c=c, fields=", ".join(f"`{s}__{c}`" for s in _STATS)
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        for c in cols
+    )
+    tall = wide.selectExpr(
+        f"stack({len(cols)}, {stack}) AS (column_name, {', '.join(_STATS)})"
+    )
+    return tall.select(
+        "column_name",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n_null").cast("bigint").alias("n_null"),
+        F.col("approx_distinct").cast("bigint").alias("approx_distinct"),
+        "mean", "stddev", "min_val", "median", "max_val",
+    )
+
+
+def correlation_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Bivariate profile section (reference ``dataprep_report.py:27``
+    renders per-pair correlation plots): pairwise Pearson r for every
+    unordered column pair, as a tall (col_a, col_b, pearson_r) frame.
+    One aggregate pass for ALL pairs — ``corr`` is a map-side
+    combinable aggregate, so n*(n-1)/2 pairs still cost a single scan.
+    """
+    pairs = list(combinations(cols, 2))
+    if not pairs:
+        raise ValueError("correlation_matrix needs at least two columns")
+    wide = df.agg(
+        *[
+            F.round(F.corr(a, b), 6).alias(f"r__{a}__{b}")
+            for a, b in pairs
+        ]
+    )
+    stack = ", ".join(f"'{a}', '{b}', `r__{a}__{b}`" for a, b in pairs)
+    return wide.selectExpr(
+        f"stack({len(pairs)}, {stack}) AS (col_a, col_b, pearson_r)"
+    )
 
 
 def histogram(df: DataFrame, col: str, n_bins: int = 10) -> DataFrame:
@@ -67,21 +112,33 @@ def histogram(df: DataFrame, col: str, n_bins: int = 10) -> DataFrame:
     )
 
 
-def render_html(profile: DataFrame, title: str = "Profile report") -> str:
-    """Render the (tiny) profile DataFrame to a standalone HTML table."""
-    rows = profile.collect()
-    cols = profile.columns
+def _html_table(frame: DataFrame) -> str:
+    rows = frame.collect()
+    cols = frame.columns
     head = "".join(f"<th>{escape(c)}</th>" for c in cols)
     body = "".join(
         "<tr>" + "".join(f"<td>{escape(str(r[c]))}</td>" for c in cols) + "</tr>"
         for r in rows
     )
+    return f"<table><tr>{head}</tr>{body}</table>"
+
+
+def render_html(
+    profile: DataFrame,
+    title: str = "Profile report",
+    bivariate: DataFrame | None = None,
+) -> str:
+    """Render the (tiny) profile DataFrame — and, when given, the
+    bivariate correlation frame — to a standalone HTML document."""
+    sections = f"<h2>Univariate</h2>{_html_table(profile)}"
+    if bivariate is not None:
+        sections += f"<h2>Bivariate (Pearson r)</h2>{_html_table(bivariate)}"
     return (
         "<!doctype html><html><head><meta charset='utf-8'>"
         f"<title>{escape(title)}</title>"
         "<style>table{border-collapse:collapse;font-family:monospace}"
         "td,th{border:1px solid #999;padding:4px 8px}</style></head>"
-        f"<body><h1>{escape(title)}</h1><table><tr>{head}</tr>{body}</table>"
+        f"<body><h1>{escape(title)}</h1>{sections}"
         "</body></html>"
     )
 
@@ -89,9 +146,11 @@ def render_html(profile: DataFrame, title: str = "Profile report") -> str:
 def save_report(
     df: DataFrame, cols: Sequence[str], path: str, title: str = "Profile report"
 ) -> str:
-    """G11 end-to-end: profile ``cols`` and write the HTML report
-    (reference ``create_report(df).save(out)``)."""
-    html = render_html(profile_columns(df, cols), title)
+    """G11 end-to-end: profile ``cols`` and write the HTML report with
+    univariate + bivariate sections (reference ``create_report(df)
+    .save(out)``, whose output bundles both)."""
+    corr = correlation_matrix(df, cols) if len(cols) >= 2 else None
+    html = render_html(profile_columns(df, cols), title, bivariate=corr)
     with open(path, "w", encoding="utf-8") as f:
         f.write(html)
     return path

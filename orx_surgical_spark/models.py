@@ -43,14 +43,13 @@ def _strip_summary(model):
     ``Task not serializable`` depending on session state.  The catalog
     never reads summaries, so clear them right after fit.
     """
-    try:
-        jvm = model._java_obj._sc._jvm if hasattr(model._java_obj, "_sc") else None
-    except Exception:
-        jvm = None
+    # NB: probing `model._java_obj._sc._jvm` is useless — py4j's
+    # JavaObject.__getattr__ fabricates a JavaMember for ANY name, so
+    # hasattr is always True and the access raises later anyway.
     try:
         from pyspark import SparkContext
 
-        jvm = jvm or SparkContext._active_spark_context._jvm
+        jvm = SparkContext._active_spark_context._jvm
         model._java_obj.setSummary(jvm.scala.Option.empty())
     except Exception:
         pass  # connect-mode or API drift: summary stays, transforms still work

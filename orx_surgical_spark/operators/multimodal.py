@@ -81,6 +81,8 @@ def decode_stats(df: DataFrame) -> DataFrame:
         [
             T.StructField("doc_id", T.LongType()),
             T.StructField("n_bytes", T.IntegerType()),
+            T.StructField("sum_px", T.LongType()),
+            T.StructField("sumsq_px", T.LongType()),
             T.StructField("mean_px", T.DoubleType()),
             T.StructField("std_px", T.DoubleType()),
             T.StructField("max_px", T.IntegerType()),
@@ -93,10 +95,18 @@ def decode_stats(df: DataFrame) -> DataFrame:
                 _fake_decode(p, m["width"], m["height"])
                 for p, m in zip(pdf["payload"], pdf["metadata"])
             ]
+            # sum/sumsq are EXACT integers (cross-engine hashable with
+            # no float-rounding ties — raster means are dyadic rationals
+            # whose decimal expansions can land exactly on a rounding
+            # boundary); mean/std stay for human consumption.
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].values,
                     "n_bytes": [len(p or b"") for p in pdf["payload"]],
+                    "sum_px": [int(r.sum(dtype=np.int64)) for r in rasters],
+                    "sumsq_px": [
+                        int((r.astype(np.int64) ** 2).sum()) for r in rasters
+                    ],
                     "mean_px": [float(r.mean()) for r in rasters],
                     "std_px": [float(r.std()) for r in rasters],
                     "max_px": [int(r.max()) for r in rasters],

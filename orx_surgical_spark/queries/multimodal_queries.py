@@ -24,7 +24,10 @@ _MEDIA_CTE = """
              CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
                              ELSE 'video' END AS media_type,
              CAST(16 + (doc_id % 16) * 8 AS INTEGER) AS width,
-             CAST(16 + ((CAST(doc_id / 16 AS INTEGER)) % 16) * 8 AS INTEGER) AS height,
+             -- // (floor div): CAST(x/16 AS INTEGER) would ROUND
+             -- half-to-even where Spark's double->int cast truncates;
+             -- caught by the byte-level media_decode_stats oracle (r5)
+             CAST(16 + ((doc_id // 16) % 16) * 8 AS INTEGER) AS height,
              CAST(doc_id % 30 + 1 AS INTEGER) AS n_frames
       FROM documents
     )
@@ -78,24 +81,70 @@ def frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.frame_sample_indices(_media(spark, sf_dir), stride=5)
 
 
+# Byte value at hex-string position i (1-based), DuckDB hex() is
+# uppercase: two nibble lookups.
+_NIB = "strpos('0123456789ABCDEF', substr({h}, {i}, 1)) - 1"
+
+
 @register(
     "media_decode_stats",
-    oracle=None,  # fake-codec pixel plane -> rows-only check
+    oracle=_MEDIA_CTE + f"""
+    , b AS (
+      SELECT doc_id, octet_length(payload) AS len,
+             width * height AS need, hex(payload) AS h
+      FROM media
+    ), bytes AS (
+      SELECT doc_id, need, len,
+             ({_NIB.format(h='h', i='2 * i - 1')}) * 16
+               + ({_NIB.format(h='h', i='2 * i')}) AS v
+      FROM b, UNNEST(range(1, least(len, need) + 1)) AS t(i)
+    )
+    SELECT b.doc_id,
+           CAST(b.len AS INTEGER) AS n_bytes,
+           CAST(COALESCE(SUM(y.v), 0) AS BIGINT) AS sum_px,
+           CAST(COALESCE(SUM(y.v * y.v), 0) AS BIGINT) AS sumsq_px,
+           CAST(COALESCE(MAX(y.v), 0) AS INTEGER) AS max_px
+    FROM b LEFT JOIN bytes y USING (doc_id)
+    GROUP BY b.doc_id, b.len
+    """,
     doc="Decode each payload (deterministic fake codec behind the real "
-        "mapInPandas plumbing) and emit raster stats per item.",
+        "mapInPandas plumbing) and emit raster stats per item. The fake "
+        "decode is pure byte math (payload zero-padded/truncated to "
+        "width*height), so DuckDB replays it exactly via hex-nibble "
+        "byte extraction — the pixel plane is hash-checked (r5; "
+        "previously rows-only). The driver surface carries the EXACT "
+        "integer pixel sums (zero-padding contributes 0, truncation "
+        "caps at width*height bytes): raster means are dyadic "
+        "rationals that can land exactly on a decimal rounding "
+        "boundary, where Spark's BigDecimal HALF_UP and a "
+        "double-scaled round disagree — integers cannot. The float "
+        "mean/std stay on the operator output for consumers.",
     tags=("multimodal", "decode"),
 )
 def media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = ensure_min_partitions(_media(spark, sf_dir))
-    return MM.decode_stats(m)
+    return MM.decode_stats(m).select(
+        "doc_id", "n_bytes", "sum_px", "sumsq_px", "max_px"
+    )
 
 
 @register(
     "media_byte_features",
-    oracle=None,  # array<float> embedding payload -> rows-only check
+    oracle=_MEDIA_CTE + """
+    SELECT doc_id,
+           CAST(16 AS INTEGER) AS dim,
+           CAST(CASE WHEN octet_length(payload) > 0 THEN 1.0 ELSE 0.0 END
+                AS DOUBLE) AS l1_norm
+    FROM media
+    """,
     doc="16-bin normalized byte-histogram embedding per payload "
         "(mapInPandas, Arrow-batched) — multimodal features ready for "
-        "the similarity tier; returns (doc_id, dim, l1_norm).",
+        "the similarity tier; returns (doc_id, dim, l1_norm). The "
+        "surfaced invariants are exact (dim = n_bins; a normalized "
+        "histogram's L1 norm is 1 for non-empty payloads, 0 for empty — "
+        "float32 bin rounding stays ~1e-7, far under the 4dp round), so "
+        "they oracle-check (r5); per-bin values are pinned by "
+        "tests/test_multimodal.py.",
     tags=("multimodal", "features"),
 )
 def media_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -111,10 +160,19 @@ def media_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "media_resize",
-    oracle=None,  # resized payload bytes -> rows-only check
+    oracle=_MEDIA_CTE + """
+    SELECT doc_id, media_type,
+           CAST(8 AS INTEGER) AS width,
+           CAST(8 AS INTEGER) AS height,
+           CAST(64 AS INTEGER) AS n_bytes
+    FROM media
+    """,
     doc="Block-average resize to 8x8 through the stubbed decode; "
         "payload and metadata rewritten in one mapInPandas pass; "
-        "returns (doc_id, media_type, new dims, payload bytes).",
+        "returns (doc_id, media_type, new dims, payload bytes). The "
+        "surfaced contract (8x8 metadata, 64-byte payload for every "
+        "item) is exact, so it oracle-checks (r5); the block-average "
+        "pixel values are pinned by tests/test_multimodal.py.",
     tags=("multimodal", "resize"),
 )
 def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2,7 +2,7 @@
 
 The grading driver's correctness gate checks at most ~50 queries per
 round (round 1 recorded exactly the first 50 catalog names
-alphabetically), while the full registry declares 150 fine-grained
+alphabetically), while the full registry declares 151 fine-grained
 entries. To get EVERY SURVEY §2 operator a driver-green row, the
 driver-facing surface (``__spark_entry__.queries()``) exposes:
 
@@ -15,7 +15,7 @@ driver-facing surface (``__spark_entry__.queries()``) exposes:
   oracle applies the identical serialization to each member's oracle
   SQL.
 
-The internal registry keeps all 150 fine-grained entries: tests and
+The internal registry keeps all 151 fine-grained entries: tests and
 ``bench.py`` keep their per-operator resolution.
 
 Exception: the two quadratic exact baselines in ``REGISTRY_INTERNAL``
@@ -140,6 +140,7 @@ ORACLE_PANELS: dict[str, tuple[str, ...]] = {
     "panel_quality": (
         "dq_orders_report",
         "profile_summary",
+        "profile_correlations",  # G11 bivariate section (r5)
         "json_props_stats",
         "full_outer_daily_recon",
         "merge_upsert_orders",
@@ -198,6 +199,15 @@ ORACLE_PANELS: dict[str, tuple[str, ...]] = {
         "mhe_vectors",
         "occurrence_vectors_cv",
     ),
+    # Promoted from ROWS_ONLY in r5: the fake decode is deterministic
+    # byte math DuckDB replays via hex-nibble extraction, and the
+    # feature/resize surfaces are exact invariants — pixel-plane values
+    # additionally pinned by tests/test_multimodal.py.
+    "panel_media": (
+        "media_byte_features",
+        "media_decode_stats",
+        "media_resize",
+    ),
 }
 
 # Rows-only panels: members have no SQL-expressible oracle (solver
@@ -235,11 +245,6 @@ ROWS_ONLY_PANELS: dict[str, tuple[str, ...]] = {
         "mllib_minhash_pairs",
         "seeded_sample_split",
         "sketch_aggregates",
-    ),
-    "panel_media": (
-        "media_byte_features",
-        "media_decode_stats",
-        "media_resize",
     ),
 }
 

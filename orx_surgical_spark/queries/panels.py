@@ -131,6 +131,11 @@ def panel_fn(members: tuple[str, ...], eager: bool = False):
     ``BinaryLogisticRegressionTrainingSummaryImpl``.  The round-trip is
     bounded: these are correctness-panel results (scored test rows at
     check SF), not a production operator path.
+
+    Cost caveat: an eager panel executes its full member pipelines
+    (MLlib fits included) at ``fn()`` BUILD time — callers wanting only
+    the plan/schema still pay full execution (~1 min for the three
+    model panels at sf0.001, as the plan-sweep test observes).
     """
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:

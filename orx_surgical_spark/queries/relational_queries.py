@@ -760,24 +760,63 @@ _PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
 )
 def profile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    parts = []
+    # Single aggregate pass for all columns (r5; the previous
+    # union-of-per-column-aggs scanned lineitem once PER column), then
+    # stack the one wide row to tall. Output identical to the oracle's
+    # UNION ALL form.
+    stats = ("n", "n_null", "mean", "stddev", "min_val", "max_val", "median")
+    aggs = []
     for c in _PROFILE_COLS:
-        parts.append(
-            li.agg(
-                F.lit(c).alias("column_name"),
-                F.count(c).alias("n"),
-                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias("n_null"),
-                F.round(F.avg(c), 6).alias("mean"),
-                F.round(F.stddev_samp(c), 6).alias("stddev"),
-                F.min(c).alias("min_val"),
-                F.max(c).alias("max_val"),
-                F.round(F.expr(f"percentile({c}, 0.5)"), 6).alias("median"),
-            )
+        aggs += [
+            F.count(c).cast("double").alias(f"n__{c}"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("double").alias(f"n_null__{c}"),
+            F.round(F.avg(c), 6).alias(f"mean__{c}"),
+            F.round(F.stddev_samp(c), 6).alias(f"stddev__{c}"),
+            F.min(c).alias(f"min_val__{c}"),
+            F.max(c).alias(f"max_val__{c}"),
+            F.round(F.expr(f"percentile({c}, 0.5)"), 6).alias(f"median__{c}"),
+        ]
+    stack = ", ".join(
+        "'{c}', {fields}".format(
+            c=c, fields=", ".join(f"`{s}__{c}`" for s in stats)
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        for c in _PROFILE_COLS
+    )
+    tall = li.agg(*aggs).selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack}) "
+        f"AS (column_name, {', '.join(stats)})"
+    )
+    return tall.select(
+        "column_name",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n_null").cast("bigint").alias("n_null"),
+        "mean", "stddev", "min_val", "max_val", "median",
+    )
+
+
+@register(
+    "profile_correlations",
+    oracle="\n    UNION ALL\n".join(
+        f"""
+    SELECT '{a}' AS col_a, '{b}' AS col_b,
+           ROUND(CORR({a}, {b}), 6) AS pearson_r
+    FROM lineitem"""
+        for i, a in enumerate(_PROFILE_COLS)
+        for b in _PROFILE_COLS[i + 1:]
+    ),
+    doc="G11 bivariate profile section: pairwise Pearson correlation "
+        "over the profiled numeric columns (reference dataprep "
+        "create_report's bivariate plots, dataprep_report.py:27) — all "
+        "pairs in ONE aggregate pass (corr is map-side combinable), "
+        "stacked to a tall (col_a, col_b, pearson_r) frame.",
+    tags=("G11", "bivariate"),
+)
+def profile_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orx_surgical_spark.functions.profile import correlation_matrix
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return correlation_matrix(li, _PROFILE_COLS)
 
 
 # ---------------------------------------------------------------------------

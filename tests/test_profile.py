@@ -31,3 +31,33 @@ def test_save_report_html(spark, sf_dir, tmp_path):
     html = open(out).read()
     assert html.startswith("<!doctype html>")
     assert "l_quantity" in html and "median" in html
+
+
+def test_correlation_matrix_values_and_single_pass(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    corr = profile.correlation_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount"]
+    )
+    rows = {(r["col_a"], r["col_b"]): r["pearson_r"] for r in corr.collect()}
+    assert set(rows) == {
+        ("l_quantity", "l_extendedprice"),
+        ("l_quantity", "l_discount"),
+        ("l_extendedprice", "l_discount"),
+    }
+    assert all(-1.0 <= v <= 1.0 for v in rows.values())
+    # exact-correctness pin via a duplicated column (r == 1)
+    dup = li.withColumn("l_quantity2", li["l_quantity"])
+    self_r = profile.correlation_matrix(dup, ["l_quantity", "l_quantity2"])
+    assert abs(self_r.collect()[0]["pearson_r"] - 1.0) < 1e-9
+    # one aggregate pass: the plan contains no Union of per-pair scans
+    assert "Union" not in corr._jdf.queryExecution().executedPlan().toString()
+
+
+def test_save_report_bivariate_section(spark, sf_dir, tmp_path):
+    li = load_table(spark, sf_dir, "lineitem")
+    out = profile.save_report(
+        li, ["l_quantity", "l_discount"], str(tmp_path / "report2.html")
+    )
+    html = open(out).read()
+    assert "Bivariate (Pearson r)" in html and "pearson_r" in html
+    assert "Univariate" in html
