@@ -2,7 +2,7 @@
 
 The grading driver's correctness gate checks at most ~50 queries per
 round (round 1 recorded exactly the first 50 catalog names
-alphabetically), while the full registry declares 151 fine-grained
+alphabetically), while the full registry declares 154 fine-grained
 entries. To get EVERY SURVEY §2 operator a driver-green row, the
 driver-facing surface (``__spark_entry__.queries()``) exposes:
 
@@ -15,7 +15,7 @@ driver-facing surface (``__spark_entry__.queries()``) exposes:
   oracle applies the identical serialization to each member's oracle
   SQL.
 
-The internal registry keeps all 151 fine-grained entries: tests and
+The internal registry keeps all 154 fine-grained entries: tests and
 ``bench.py`` keep their per-operator resolution.
 
 Exception: the two quadratic exact baselines in ``REGISTRY_INTERNAL``
@@ -90,6 +90,8 @@ ORACLE_PANELS: dict[str, tuple[str, ...]] = {
     "panel_tpch_a": (
         "q4_late_shipment_orders",
         "q6_forecast_revenue",
+        "q8_national_market_share",  # r5: 8-table broadcast join
+        "q10_returned_item_customers",  # r5: returned-item top-k
         "q12_priority_by_returnflag",
         "q14_promo_revenue_pct",
         "local_supplier_volume",
@@ -98,6 +100,7 @@ ORACLE_PANELS: dict[str, tuple[str, ...]] = {
         "q15_top_supplier",
         "q18_large_volume_orders",
         "q19_disjunctive_revenue",
+        "q21_suppliers_kept_waiting",  # r5: stacked semi+anti
         "q22_dormant_rich_customers",
         "nations_per_region_agg",
     ),

@@ -501,3 +501,218 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue")
         )
     )
+
+
+@register(
+    "q8_national_market_share",
+    oracle="""
+    WITH vol AS (
+      SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             sn.n_name AS supp_nation
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = cn.n_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'ASIA'
+        AND p.p_type = 'PROMO'
+        AND o.o_orderdate >= DATE '1995-01-01'
+        AND o.o_orderdate < DATE '1997-01-01'
+    )
+    SELECT CAST(o_year AS BIGINT) AS o_year,
+           ROUND(SUM(CASE WHEN supp_nation = 'NATION_5' THEN volume
+                          ELSE 0 END) / SUM(volume), 6) AS mkt_share
+    FROM vol GROUP BY o_year
+    """,
+    doc="TPC-H Q8 shape: national market share — the 8-table join "
+        "(lineitem at the center; part/orders/customer/nation/region/"
+        "supplier/nation dims) with a conditional-share aggregate per "
+        "year. Every dimension side is broadcast (all far below the "
+        "10 MB threshold), so the fact table is never shuffled until "
+        "the tiny per-year aggregate; the two nation copies are "
+        "separate broadcast builds, not a self-join shuffle.",
+    tags=("tpch", "multi-join"),
+)
+def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    supplier = load_table(spark, sf_dir, "supplier")
+    cust_nation = nation.alias("cn")
+    supp_nation = nation.alias("sn")
+    vol = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .join(
+            F.broadcast(cust_nation),
+            customer["c_nationkey"] == F.col("cn.n_nationkey"),
+        )
+        .join(F.broadcast(region), F.col("cn.n_regionkey") == region["r_regionkey"])
+        .join(F.broadcast(supplier), li["l_suppkey"] == supplier["s_suppkey"])
+        .join(
+            F.broadcast(supp_nation),
+            supplier["s_nationkey"] == F.col("sn.n_nationkey"),
+        )
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            F.col("sn.n_name").alias("supp_nation"),
+        )
+    )
+    return vol.groupBy("o_year").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_5", F.col("volume"))
+                .otherwise(0.0)
+            )
+            / F.sum("volume"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "q10_returned_item_customers",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           -- 4dp, not the canonical 2: money products carry <= 4
+           -- decimal digits, so 4dp rounding sits ON grid points and
+           -- cannot tie; at 2dp an exact .xx5 sum rounds differently
+           -- under BigDecimal HALF_UP vs double rounding (hit at
+           -- sf0.01, customer 249)
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           c.c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= DATE '1996-01-01'
+      AND o.o_orderdate < DATE '1996-04-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: returned-item reporting — top-20 customers by "
+        "lost revenue (returnflag = 'R') in one quarter. The quarter "
+        "filter pushes into the orders scan and the returnflag filter "
+        "into the lineitem scan BEFORE the join; customer and nation "
+        "broadcast; the final top-k is TakeOrderedAndProject (never a "
+        "global sort), with c_custkey as the deterministic tiebreak.",
+    tags=("tpch", "topk"),
+)
+def q10_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q21_suppliers_kept_waiting",
+    oracle="""
+    WITH late AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+    SELECT s.s_name,
+           CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM late l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l2
+      WHERE l2.l_orderkey = l1.l_orderkey
+        AND l2.l_suppkey <> l1.l_suppkey
+    )
+    AND NOT EXISTS (
+      SELECT 1 FROM late l3
+      WHERE l3.l_orderkey = l1.l_orderkey
+        AND l3.l_suppkey <> l1.l_suppkey
+    )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 10
+    """,
+    doc="TPC-H Q21 shape: suppliers who kept orders waiting — the "
+        "hardest canonical shape: a semi join (some OTHER supplier "
+        "contributed to the order) stacked with an anti join (but no "
+        "OTHER supplier was late) over the late-lines set, counted per "
+        "supplier. Lateness is re-based on shipdate vs orderdate + 60 "
+        "days (the synthetic schema has no commit/receipt dates) and "
+        "the canonical single-nation filter is dropped (100 suppliers "
+        "total); the plan shape — two hash shuffles on l_orderkey for "
+        "semi+anti, broadcast supplier dim, TakeOrderedAndProject — is "
+        "the canonical one.",
+    tags=("tpch", "semi-anti"),
+)
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    late = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .where(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    waited = (
+        late.join(
+            l2,
+            (late["l_orderkey"] == l2["o2"]) & (late["l_suppkey"] != l2["s2"]),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == l3["o3"]) & (F.col("l_suppkey") != l3["s3"]),
+            "left_anti",
+        )
+    )
+    return (
+        waited.join(F.broadcast(supplier), F.col("l_suppkey") == supplier["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
+    )

@@ -186,3 +186,27 @@ def test_no_cartesian_product_in_exposed_plans(spark, sf_dir):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert offenders == []
+
+
+def test_q8_all_dims_broadcast_no_fact_shuffle_before_agg(spark, sf_dir):
+    """Q8's seven dimension joins must all be broadcast builds — the
+    lineitem fact is shuffled only by the final per-year aggregate."""
+    plan = plan_str(REGISTRY["q8_national_market_share"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 6
+    assert "SortMergeJoin" not in plan
+
+
+def test_q10_topk_and_pushed_filters(spark, sf_dir):
+    df = REGISTRY["q10_returned_item_customers"].fn(spark, sf_dir)
+    plan = plan_str(df)
+    assert "TakeOrderedAndProject" in plan  # never a global sort
+    # returnflag filter must reach the lineitem parquet scan
+    assert "EqualTo(l_returnflag,R)" in plan
+
+
+def test_q21_semi_and_anti_shapes(spark, sf_dir):
+    plan = plan_str(REGISTRY["q21_suppliers_kept_waiting"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
