@@ -2,7 +2,7 @@
 
 The grading driver's correctness gate checks at most ~50 queries per
 round (round 1 recorded exactly the first 50 catalog names
-alphabetically), while the full registry declares 154 fine-grained
+alphabetically), while the full registry declares 155 fine-grained
 entries. To get EVERY SURVEY §2 operator a driver-green row, the
 driver-facing surface (``__spark_entry__.queries()``) exposes:
 
@@ -15,7 +15,7 @@ driver-facing surface (``__spark_entry__.queries()``) exposes:
   oracle applies the identical serialization to each member's oracle
   SQL.
 
-The internal registry keeps all 154 fine-grained entries: tests and
+The internal registry keeps all 155 fine-grained entries: tests and
 ``bench.py`` keep their per-operator resolution.
 
 Exception: the two quadratic exact baselines in ``REGISTRY_INTERNAL``
@@ -193,6 +193,7 @@ ORACLE_PANELS: dict[str, tuple[str, ...]] = {
     ),
     "panel_stream_join": (
         "stream_interval_join",
+        "stream_left_outer_join",  # r5: watermark-evicted outer emission
         "stream_dedup_watermark",
     ),
     # Promoted from ROWS_ONLY in r5: both members now canonicalize their

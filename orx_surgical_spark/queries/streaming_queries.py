@@ -158,3 +158,63 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.run_available_now(
         deduped.select("user_id", "event_type"), output_mode="append"
     )
+
+
+@register(
+    "stream_left_outer_join",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_id AS click_id, ts AS l_ts
+      FROM events WHERE event_type = 'click'
+    ), pu AS (
+      SELECT user_id AS r_user, event_id AS purchase_id, ts AS r_ts
+      FROM events WHERE event_type = 'purchase'
+    ), wm AS (
+      SELECT least((SELECT MAX(l_ts) FROM c), (SELECT MAX(r_ts) FROM pu))
+               - INTERVAL 2 HOUR AS w
+    ), j AS (
+      SELECT cl.user_id, cl.click_id, p.purchase_id, cl.l_ts,
+             CAST(FLOOR((EPOCH(p.r_ts) - EPOCH(cl.l_ts)) / 60) AS BIGINT)
+               AS gap_minutes
+      FROM c cl LEFT JOIN pu p ON p.r_user = cl.user_id
+        AND p.r_ts >= cl.l_ts AND p.r_ts <= cl.l_ts + INTERVAL 1 HOUR
+    )
+    SELECT user_id, click_id, purchase_id, gap_minutes
+    FROM j, wm
+    WHERE purchase_id IS NOT NULL OR l_ts + INTERVAL 1 HOUR < wm.w
+    """,
+    doc="Stream-stream LEFT OUTER interval join "
+        "(streaming.ops.interval_join how='left_outer'): clicks with "
+        "their within-the-hour purchase, or nulls once the watermark "
+        "passes the click's whole join window. The oracle replicates "
+        "the watermark-eviction cutoff exactly — an unmatched click "
+        "emits iff l_ts + 1h < min(max click ts, max purchase ts) - 2h "
+        "(the final global watermark) — so the driver hash-checks the "
+        "outer-emission semantics, including the deliberately-buffered "
+        "stream tail, not just the inner matches.",
+    tags=("streaming", "outer-join"),
+)
+def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    stream = S.read_events_stream(spark, sf_dir)
+    clicks = stream.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("l_ts")
+    )
+    purchases = stream.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("r_ts"),
+    )
+    joined = S.interval_join(
+        clicks, purchases, max_gap="1 hour", how="left_outer"
+    )
+    out = joined.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.floor(
+            (F.unix_micros("r_ts") - F.unix_micros("l_ts")) / F.lit(60_000_000)
+        ).alias("gap_minutes"),
+    )
+    return S.run_available_now(out, output_mode="append")

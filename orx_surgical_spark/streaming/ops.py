@@ -138,15 +138,26 @@ def interval_join(
     right_ts: str = "r_ts",
     max_gap: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join with an event-time interval condition:
-    right rows within ``[left.ts, left.ts + max_gap]`` for the same key.
+    """Stream-stream join with an event-time interval condition: right
+    rows within ``[left.ts, left.ts + max_gap]`` for the same key.
 
     Both sides carry watermarks, so the join state (buffered unmatched
     rows) is bounded: a left row can be dropped once the right watermark
     passes ``left.ts + max_gap``, and vice versa — the textbook bounded
     stream-stream join. Callers rename ts columns apart first (streaming
     joins reject ambiguous names).
+
+    ``how='left_outer'`` emits unmatched left rows with nulls — but only
+    once the watermark has passed the row's whole join window: an
+    unmatched left row surfaces iff ``l_ts + max_gap <
+    min(max(l_ts), max(r_ts)) - watermark_delay`` at query end, so rows
+    near the stream tail stay buffered in state rather than emitting
+    (verified empirically at two SFs; the catalog oracle encodes exactly
+    this cutoff). That tail retention is the semantics any engine with
+    watermark-bounded outer joins has — flushing them would be wrong the
+    moment more data arrives.
     """
     l = left.withWatermark(left_ts, watermark)
     r = right.withWatermark(right_ts, watermark)
@@ -155,6 +166,7 @@ def interval_join(
         (l[key] == r[key])
         & (F.col(right_ts) >= F.col(left_ts))
         & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {max_gap}")),
+        how,
     ).drop(r[key])
 
 
