@@ -218,3 +218,41 @@ def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("gap_minutes"),
     )
     return S.run_available_now(out, output_mode="append")
+
+
+@register(
+    "stream_chained_agg",
+    oracle="""
+    WITH hourly AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, ts) AS h, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT STRFTIME(h, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, n_events
+    FROM hourly
+    WHERE h + INTERVAL 1 HOUR <= (SELECT MAX(ts) - INTERVAL 10 MINUTE
+                                  FROM events)
+    """,
+    doc="Chained streaming aggregation "
+        "(streaming.ops.chained_window_rollup): 5-minute windowed "
+        "counts re-aggregated into hourly rollups — two stateful "
+        "operators in one query (Spark 3.4+), window_time() carrying "
+        "event time between them, the second stage's state keyed per "
+        "fine window not per event. The oracle replays the append-mode "
+        "watermark cutoff (hour_end <= max(ts) - 10min), so the "
+        "emission semantics incl. the still-open tail windows are "
+        "hash-checked.",
+    tags=("streaming", "chained-agg"),
+)
+def stream_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    stream = S.read_events_stream(spark, sf_dir)
+    rolled = S.chained_window_rollup(stream)
+    out = S.run_available_now(rolled, output_mode="append")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+    )

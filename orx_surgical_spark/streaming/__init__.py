@@ -3,12 +3,16 @@
 The reference has no streaming operators (SURVEY §2-H); this tier adds
 the stream shapes a large-scale ingestion pipeline needs — file-source
 streams, watermarked tumbling/sliding windows, gap-based session
-windows, and custom stateful aggregation via ``applyInPandasWithState``
+windows, chained multi-stateful aggregation, stream-stream interval
+joins (inner and left-outer with watermark-exact emission), bounded
+streaming dedup, and custom stateful aggregation via
+``applyInPandasWithState``
 — each runnable in ``availableNow`` batch-catchup mode so results are
 deterministic and oracle-checkable against the batch engine.
 """
 
 from orx_surgical_spark.streaming.ops import (
+    chained_window_rollup,
     dedup_within_watermark,
     interval_join,
     read_events_stream,

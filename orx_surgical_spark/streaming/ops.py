@@ -263,3 +263,33 @@ def run_available_now(
     )
     q.awaitTermination()
     return df.sparkSession.table(sink)
+
+
+def chained_window_rollup(
+    stream: DataFrame,
+    fine: str = "5 minutes",
+    coarse: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Chained streaming aggregation (multiple stateful operators in one
+    query, Spark 3.4+): fine-grained windowed counts re-aggregated into
+    coarse windows downstream, ``window_time()`` carrying event time
+    between the two stateful stages. The pre-aggregation is the point:
+    the second stage's state holds one row per (fine window, key), not
+    per event — the streaming analogue of partial aggregation.
+
+    Append-mode emission: a coarse window surfaces once the watermark
+    passes its end, i.e. iff ``coarse_end <= max(ts) - delay`` at query
+    end (the catalog oracle encodes that cutoff; the final open windows
+    stay in state, exactly as they must on an unbounded stream).
+    """
+    f5 = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", fine).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        f5.groupBy(F.window(F.window_time("w"), coarse).alias("h"), "event_type")
+        .agg(F.sum("n").alias("n_events"))
+        .select(F.col("h.start").alias("window_start"), "event_type", "n_events")
+    )
