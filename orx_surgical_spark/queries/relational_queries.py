@@ -1078,6 +1078,55 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "variant_props_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(k) AS BIGINT) AS n_with_k,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(SUM(CASE WHEN missing IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_missing,
+           'OBJECT<k: BIGINT>' AS value_schema
+    FROM (
+      SELECT event_type,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+             json_extract(props, '$.nope') AS missing
+      FROM events
+    )
+    GROUP BY event_type
+    """,
+    doc="Spark 4 VARIANT tier of semi-structured handling: parse_json "
+        "into a VARIANT column (binary-encoded, no up-front schema), "
+        "typed path extraction with variant_get, null-safe "
+        "try_variant_get on a missing path, and schema_of_variant "
+        "inference aggregated per event type. The inferred-schema "
+        "column is a real check: the oracle pins the literal "
+        "'OBJECT<k: BIGINT>' Spark must infer from the data, and the "
+        "extraction aggregates must match DuckDB's JSON path reads. "
+        "Complements json_props_stats (from_json with a declared "
+        "schema): VARIANT is the schema-on-read path when payload "
+        "shapes drift.",
+    tags=("B2", "json", "variant"),
+)
+def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select("event_type", F.parse_json("props").alias("v"))
+    parsed = v.select(
+        "event_type",
+        F.expr("variant_get(v, '$.k', 'bigint')").alias("k"),
+        F.expr("try_variant_get(v, '$.nope', 'string')").alias("missing"),
+        F.expr("schema_of_variant(v)").alias("vschema"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("k").alias("n_with_k"),
+        F.sum("k").alias("sum_k"),
+        F.sum(F.when(F.col("missing").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_missing"),
+        F.max("vschema").alias("value_schema"),
+    )
+
+
+@register(
     "unpivot_measures",
     oracle="""
     SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
