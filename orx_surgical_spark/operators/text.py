@@ -382,3 +382,30 @@ def token_budget_select(
             F.coalesce("__sel", F.lit(False)).alias("selected"),
         )
     )
+
+
+def chunk_tokens(
+    toks: Column, window: int = 64, stride: int = 48
+) -> tuple[Column, Column]:
+    """Context-window chunking with overlap — the training-data step
+    that splits long documents into model-context-sized pieces
+    (window tokens, advancing by stride, so consecutive chunks share
+    window-stride tokens).
+
+    Returns ``(chunk_indices, chunk_at)``: an int array of chunk
+    indices to explode, and a lambda-free way to slice chunk ``i`` —
+    pure JVM ``sequence``/``slice`` expressions, so chunking is a
+    map-only projection with no shuffle and no Python at any scale.
+    Chunk count is ``1 + ceil((n - window)/stride)`` (one chunk when
+    ``n <= window``); the final chunk may be shorter than ``window``.
+    """
+    n = F.size(toks)
+    n_chunks = F.when(n <= window, F.lit(1)).otherwise(
+        (F.floor((n - window + stride - 1) / stride) + 1).cast("int")
+    )
+    idx = F.sequence(F.lit(0), n_chunks - 1)
+
+    def chunk_at(i: Column) -> Column:
+        return F.slice(toks, i * stride + 1, window)
+
+    return idx, chunk_at

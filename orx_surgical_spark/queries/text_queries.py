@@ -363,3 +363,49 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("n_tokens"),
     )
+
+
+@register(
+    "doc_chunks",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), p AS (
+      SELECT doc_id, toks,
+             CASE WHEN len(toks) <= 64 THEN 1
+                  ELSE CAST((len(toks) - 64 + 48 - 1) // 48 AS INTEGER) + 1
+             END AS nch
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(u.i AS INTEGER) AS chunk_idx,
+           CAST(len(list_slice(toks, u.i * 48 + 1, u.i * 48 + 64))
+                AS INTEGER) AS n_chunk_tokens,
+           md5(array_to_string(list_slice(toks, u.i * 48 + 1, u.i * 48 + 64),
+                               ' ')) AS chunk_hash
+    FROM p, UNNEST(range(0, nch)) AS u(i)
+    """,
+    doc="Context-window chunking (operators.text.chunk_tokens): split "
+        "each document's token stream into 64-token chunks advancing "
+        "by 48 (16-token overlap) — the step that turns long documents "
+        "into model-context-sized training pieces. Pure JVM "
+        "sequence/explode/slice: a map-only projection, no shuffle, no "
+        "Python. Each chunk's exact content is pinned by an md5 of the "
+        "space-joined tokens, matched against DuckDB's list_slice "
+        "replay.",
+    tags=("text", "chunking"),
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = X.tokens("text")
+    idx, chunk_at = X.chunk_tokens(toks, window=64, stride=48)
+    exploded = docs.select(
+        "doc_id", toks.alias("toks"), F.explode(idx).alias("chunk_idx")
+    )
+    chunk = F.slice(F.col("toks"), F.col("chunk_idx") * 48 + 1, 64)
+    return exploded.select(
+        "doc_id",
+        "chunk_idx",
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", chunk).cast("binary")).alias("chunk_hash"),
+    )

@@ -210,3 +210,12 @@ def test_q21_semi_and_anti_shapes(spark, sf_dir):
     assert "LeftAnti" in plan
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_doc_chunks_is_map_only(spark, sf_dir):
+    """Context-window chunking is sequence/explode/slice — a pure
+    projection: no Exchange (shuffle) in the plan at any scale."""
+    plan = plan_str(REGISTRY["doc_chunks"].fn(spark, sf_dir))
+    assert "Exchange" not in plan
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "text" in read_schema and "lang" not in read_schema
