@@ -91,3 +91,38 @@ def test_quantize_int8_hand_computed(spark):
     assert rows[1]["scale"] == pytest.approx(1 / 127, abs=1e-6)
     assert list(rows[2]["q"]) == [0, 0, 0, 0]
     assert rows[2]["rmse"] == 0.0
+
+
+def test_chunk_tokens_coverage_and_overlap(spark):
+    """Every token appears in some chunk; consecutive chunks share
+    exactly window-stride tokens; chunk count matches the formula."""
+    from pyspark.sql import functions as F
+
+    from orx_surgical_spark.operators.text import chunk_tokens
+
+    W, S = 8, 6
+    words = " ".join(f"w{i}" for i in range(25))  # n=25 -> 1+ceil(17/6)=4
+    short = "a b c"  # n=3 <= W -> 1 chunk
+    df = spark.createDataFrame([(1, words), (2, short)], "doc_id long, text string")
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    idx, chunk_at = chunk_tokens(toks, window=W, stride=S)
+    # chunk_at's slice references the toks expression over `text`, so
+    # text must still be in scope where the chunk is projected.
+    rows = (
+        df.select("doc_id", "text", F.explode(idx).alias("i"))
+        .select("doc_id", "i", chunk_at(F.col("i")).alias("chunk"))
+        .collect()
+    )
+    by_doc: dict[int, dict[int, list[str]]] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, {})[r.i] = list(r.chunk)
+    assert len(by_doc[1]) == 4 and len(by_doc[2]) == 1
+    # full coverage, order preserved inside chunks
+    covered = []
+    for i in sorted(by_doc[1]):
+        covered.extend(by_doc[1][i][(W - S) if i else 0:])
+    assert covered == [f"w{i}" for i in range(25)]
+    # consecutive chunks overlap by exactly W - S tokens
+    for i in range(3):
+        assert by_doc[1][i][-(W - S):] == by_doc[1][i + 1][: W - S]
+    assert by_doc[2][0] == ["a", "b", "c"]
