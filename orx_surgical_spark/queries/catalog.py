@@ -72,6 +72,9 @@ def _load_all() -> None:
         dedup_queries,
         encoder_queries,
         model_queries,
+        # golden_queries wraps entries registered by model_queries —
+        # import after it (registration order matters, not alphabet).
+        golden_queries,
         multimodal_queries,
         olap_queries,
         relational_queries,

@@ -2,7 +2,7 @@
 
 The grading driver's correctness gate checks at most ~50 queries per
 round (round 1 recorded exactly the first 50 catalog names
-alphabetically), while the full registry declares 158 fine-grained
+alphabetically), while the full registry declares 162 fine-grained
 entries. To get EVERY SURVEY §2 operator a driver-green row, the
 driver-facing surface (``__spark_entry__.queries()``) exposes:
 
@@ -15,7 +15,7 @@ driver-facing surface (``__spark_entry__.queries()``) exposes:
   oracle applies the identical serialization to each member's oracle
   SQL.
 
-The internal registry keeps all 158 fine-grained entries: tests and
+The internal registry keeps all 162 fine-grained entries: tests and
 ``bench.py`` keep their per-operator resolution.
 
 Exception: the two quadratic exact baselines in ``REGISTRY_INTERNAL``
@@ -215,6 +215,20 @@ ORACLE_PANELS: dict[str, tuple[str, ...]] = {
         "media_decode_stats",
         "media_resize",
     ),
+    # Promoted from ROWS_ONLY in r6 via frozen-golden self-consistency
+    # oracles (golden_queries.py): each member re-runs the live MLlib
+    # scorer, compares it row-by-row against the committed golden
+    # parquet, and emits the frozen rows + a drift_ok boolean the
+    # DuckDB oracle expects to be uniformly true — solver/seed drift
+    # now breaks the driver's value hash instead of passing rows-only.
+    "panel_model_scores_a": (
+        "lasso_scores_golden",
+        "logreg_scores_golden",
+    ),
+    "panel_model_scores_b": (
+        "mlp_scores_golden",
+        "rf_scores_golden",
+    ),
 }
 
 # Rows-only panels: members have no SQL-expressible oracle (solver
@@ -228,15 +242,10 @@ ROWS_ONLY_PANELS: dict[str, tuple[str, ...]] = {
     # accumulated session memory pressure. Smaller unions + per-member
     # Arrow toPandas round-trips (see panels.py — localCheckpoint is NOT
     # usable here: closure cleaning trips on the training summary) keep
-    # each model's job isolated.
-    "panel_model_scores_a": (
-        "lasso_scores",
-        "logreg_scores",
-    ),
-    "panel_model_scores_b": (
-        "mlp_scores",
-        "rf_scores",
-    ),
+    # each model's job isolated.  Panels a/b moved to ORACLE_PANELS in
+    # r6 (frozen-golden oracles); c remains rows-only: cv_fold_stats
+    # re-fits five Lasso models whose per-fold MSEs are solver floats
+    # with no stable frozen representation across library updates.
     "panel_model_scores_c": (
         "cv_fold_stats",
         "positive_probe",
@@ -264,6 +273,19 @@ ALL_PANELS: dict[str, tuple[str, ...]] = {**ORACLE_PANELS, **ROWS_ONLY_PANELS}
 REGISTRY_INTERNAL: frozenset[str] = frozenset(
     {"embedding_neardup_exact", "ngram_jaccard_pairs"}
 )
+
+# Wrapper coverage: exposed wrapper -> base queries whose full plan it
+# executes inside the graded path. A wrapped base query is *covered*
+# (its live plan runs and its output is value-checked through the
+# wrapper's oracle) without being a panel member itself — this is how
+# the frozen-golden (and r6 ANN-summary) promotions keep the coverage
+# invariant machine-checkable instead of growing REGISTRY_INTERNAL.
+WRAPPER_COVERED: dict[str, tuple[str, ...]] = {
+    "lasso_scores_golden": ("lasso_scores",),
+    "logreg_scores_golden": ("logreg_scores",),
+    "mlp_scores_golden": ("mlp_scores",),
+    "rf_scores_golden": ("rf_scores",),
+}
 
 # Panels whose members are materialized one-by-one (Arrow toPandas
 # round-trip, see panels.py) before the union: keeps heavyweight member

@@ -184,7 +184,7 @@ def _register_panels() -> None:
                 + " (serialized rows, one hash-checked slot; see panel_specs.py)."
             ),
             tags=("panel",),
-        )(panel_fn(members))
+        )(panel_fn(members, eager=name in EAGER_PANELS))
     for name, members in ROWS_ONLY_PANELS.items():
         register(
             name,

@@ -15,6 +15,7 @@ from orx_surgical_spark.queries.panel_specs import (
     ORACLE_PANELS,
     REGISTRY_INTERNAL,
     ROWS_ONLY_PANELS,
+    WRAPPER_COVERED,
 )
 
 
@@ -25,18 +26,41 @@ def test_exposed_fits_driver_window():
 
 
 def test_every_registry_query_covered_exactly_once():
-    """Each non-panel query is either standalone-exposed or in exactly
-    one panel — nothing silently drops out of the driver's gate. The
-    only exceptions are the documented quadratic exact baselines in
-    REGISTRY_INTERNAL (ground truth for unit tests, never exposed)."""
+    """Each non-panel query is standalone-exposed, in exactly one panel,
+    or wrapped by an exposed wrapper (WRAPPER_COVERED: the wrapper
+    executes the base query's full plan and value-checks its output
+    against a frozen golden) — nothing silently drops out of the
+    driver's gate. The only exceptions are the documented quadratic
+    exact baselines in REGISTRY_INTERNAL (ground truth for unit tests,
+    never exposed)."""
     members: list[str] = [m for ms in ALL_PANELS.values() for m in ms]
     assert len(members) == len(set(members)), "query in two panels"
-    covered = set(members) | set(EXPOSED_STANDALONE)
+    wrapped = {w for ws in WRAPPER_COVERED.values() for w in ws}
+    covered = set(members) | set(EXPOSED_STANDALONE) | wrapped
     non_panel = {n for n in REGISTRY if "panel" not in REGISTRY[n].tags}
     missing = non_panel - covered - REGISTRY_INTERNAL
     assert not missing, f"queries invisible to the driver: {sorted(missing)}"
     unknown = covered - non_panel
     assert not unknown, f"spec names unregistered queries: {sorted(unknown)}"
+
+
+def test_wrapper_covered_wrappers_are_exposed_and_wrap_live_plans():
+    """A WRAPPER_COVERED entry only counts as coverage if the wrapper
+    itself reaches the driver (panel member or standalone) and the
+    wrapped base query is not ALSO covered some other way (no double
+    counting, no stale mappings)."""
+    members = {m for ms in ALL_PANELS.values() for m in ms}
+    for wrapper, bases in WRAPPER_COVERED.items():
+        assert wrapper in REGISTRY, f"unknown wrapper {wrapper}"
+        assert wrapper in members or wrapper in EXPOSED_STANDALONE, (
+            f"wrapper {wrapper} never reaches the driver"
+        )
+        assert REGISTRY[wrapper].oracle, f"wrapper {wrapper} has no oracle"
+        for base in bases:
+            assert base in REGISTRY, f"unknown wrapped query {base}"
+            assert base not in members and base not in EXPOSED_STANDALONE, (
+                f"{base} is wrapper-covered AND directly covered"
+            )
 
 
 def test_registry_internal_is_exactly_the_exact_baselines():
@@ -64,8 +88,10 @@ def test_driver_contract_docs_in_sync():
     n_registry = len(REGISTRY)
     assert n_exposed == n_standalone + n_panels
 
-    coverage = (root / "COVERAGE.md").read_text()
-    assert f"publishes {n_exposed}\nentries: {n_standalone} standalone" in coverage, (
+    # Whitespace-normalized so an innocuous paragraph reflow can't fail
+    # the test while the counts are right (ADVICE r5).
+    coverage = " ".join((root / "COVERAGE.md").read_text().split())
+    assert f"publishes {n_exposed} entries: {n_standalone} standalone" in coverage, (
         f"COVERAGE.md header stale: live counts are {n_exposed} = "
         f"{n_standalone} standalone + {n_panels} panels"
     )
