@@ -72,9 +72,6 @@ def _load_all() -> None:
         dedup_queries,
         encoder_queries,
         model_queries,
-        # golden_queries wraps entries registered by model_queries —
-        # import after it (registration order matters, not alphabet).
-        golden_queries,
         multimodal_queries,
         olap_queries,
         relational_queries,
@@ -86,6 +83,10 @@ def _load_all() -> None:
         timeseries_queries,
         tpch_queries,
     )
+    # golden_queries/gate_queries wrap entries registered by the base
+    # modules — import after ALL of them (registration order matters,
+    # not alphabet: their module bodies dereference REGISTRY entries).
+    from orx_surgical_spark.queries import gate_queries, golden_queries  # noqa: F401
     # Panels compose already-registered queries — import last. The env
     # guard lets scripts/gen_panel_dtypes.py bootstrap the generated
     # dtype snapshot that panel oracles are built from.
