@@ -38,13 +38,18 @@ from orx_surgical_spark.sources import load_table
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "goldens")
 
-#: member -> columns compared within float tolerance (everything else
-#: must match exactly, null-safe).
-_SCORE_MEMBERS: dict[str, tuple[str, ...]] = {
-    "lasso_scores": ("score",),
-    "logreg_scores": ("score",),
-    "mlp_scores": ("score",),
-    "rf_scores": ("score",),
+#: member -> (join key column, columns compared within float tolerance);
+#: every other column must match exactly (null-safe).
+_SCORE_MEMBERS: dict[str, tuple[str, tuple[str, ...]]] = {
+    "lasso_scores": ("event_id", ("score",)),
+    "logreg_scores": ("event_id", ("score",)),
+    "mlp_scores": ("event_id", ("score",)),
+    "rf_scores": ("event_id", ("score",)),
+    # G7/G8/G9 (panel_model_scores_c): same deterministic training path
+    # (map-only over a single-split scan), frozen in r6 to zero out the
+    # rows-only surface entirely.
+    "cv_fold_stats": ("fold", ("train_mse", "val_mse", "train_acc", "val_acc")),
+    "positive_probe": ("event_id", ("score",)),
 }
 
 _TOL = 1e-6
@@ -54,7 +59,7 @@ def golden_path(member: str) -> str:
     return os.path.abspath(os.path.join(GOLDEN_DIR, f"{member}.parquet"))
 
 
-def _golden_fn(member: str, float_cols: tuple[str, ...]):
+def _golden_fn(member: str, key_col: str, float_cols: tuple[str, ...]):
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         live = REGISTRY[member].fn(spark, sf_dir)
         n_events = load_table(spark, sf_dir, "events").count()
@@ -66,9 +71,9 @@ def _golden_fn(member: str, float_cols: tuple[str, ...]):
         n_golden = golden.count()
         if n_golden == 0:  # un-frozen SF (soak): degrade to live rows
             return live.withColumn("drift_ok", F.lit(True))
-        value_cols = [c for c in golden.columns if c != "event_id"]
+        value_cols = [c for c in golden.columns if c != key_col]
         renamed = live.select(
-            "event_id", *[F.col(c).alias(f"__live_{c}") for c in value_cols]
+            key_col, *[F.col(c).alias(f"__live_{c}") for c in value_cols]
         )
         # Bounded driver-side count (few thousand scored rows at the
         # graded SFs; this panel is EAGER-materialized anyway): extra
@@ -83,8 +88,8 @@ def _golden_fn(member: str, float_cols: tuple[str, ...]):
             else:
                 ok = ok & F.col(c).eqNullSafe(F.col(f"__live_{c}"))
         return (
-            golden.join(renamed, "event_id", "left")
-            .select("event_id", *value_cols, ok.alias("drift_ok"))
+            golden.join(renamed, key_col, "left")
+            .select(key_col, *value_cols, ok.alias("drift_ok"))
         )
 
     return fn
@@ -99,7 +104,7 @@ def _golden_oracle(member: str) -> str:
 
 
 def _register_golden_wrappers() -> None:
-    for member, float_cols in _SCORE_MEMBERS.items():
+    for member, (key_col, float_cols) in _SCORE_MEMBERS.items():
         register(
             f"{member}_golden",
             oracle=_golden_oracle(member),
@@ -110,7 +115,7 @@ def _register_golden_wrappers() -> None:
                 "parquet, so solver/seed drift breaks the driver gate."
             ),
             tags=("golden",) + REGISTRY[member].tags,
-        )(_golden_fn(member, float_cols))
+        )(_golden_fn(member, key_col, float_cols))
 
 
 _register_golden_wrappers()

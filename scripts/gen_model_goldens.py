@@ -33,8 +33,20 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+# Goldens feed the golden wrappers that panels are composed from —
+# skip panel registration to break the bootstrap cycle (same pattern
+# as gen_panel_dtypes.py).
+os.environ["SPARK_GRAFT_SKIP_PANELS"] = "1"
 
-GOLDEN_MEMBERS = ("lasso_scores", "logreg_scores", "mlp_scores", "rf_scores")
+#: member -> join/sort key column (everything else is value-compared).
+GOLDEN_MEMBERS: dict[str, str] = {
+    "lasso_scores": "event_id",
+    "logreg_scores": "event_id",
+    "mlp_scores": "event_id",
+    "rf_scores": "event_id",
+    "cv_fold_stats": "fold",
+    "positive_probe": "event_id",
+}
 SF_DIRS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01")
 OUT_DIR = os.path.join(os.path.dirname(__file__), "..", "goldens")
 
@@ -57,7 +69,7 @@ def main() -> None:
     os.makedirs(OUT_DIR, exist_ok=True)
     import pandas as pd
 
-    for member in GOLDEN_MEMBERS:
+    for member, key_col in GOLDEN_MEMBERS.items():
         frames = []
         for sf_dir in SF_DIRS:
             n_events = load_table(spark, sf_dir, "events").count()
@@ -67,7 +79,7 @@ def main() -> None:
         out = pd.concat(frames, ignore_index=True)
         # Stable on-disk row order (content order is irrelevant to the
         # hash, but a deterministic file makes git diffs meaningful).
-        out = out.sort_values(["n_events", "event_id"]).reset_index(drop=True)
+        out = out.sort_values(["n_events", key_col]).reset_index(drop=True)
         path = os.path.join(OUT_DIR, f"{member}.parquet")
         pq.write_table(pa.Table.from_pandas(out, preserve_index=False), path)
         print(f"wrote {path}: {len(out)} rows, cols {list(out.columns)}")
