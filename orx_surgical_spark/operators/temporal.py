@@ -42,23 +42,32 @@ def asof_join(
     Duplicate right rows per (key, ts): without ``tiebreak``, the
     PRECONDITION is that the right side is unique per (key, ts) — the
     window orders only by (ts, source-tag), so among several right rows
-    at the same instant ``last(ignorenulls)`` picks whichever sorted
-    last, which is plan/partitioning-dependent (all ``value_cols`` do
-    come from that same single row — every ``last`` reads one shared
-    sorted partition — but *which* row it is can change run to run).
-    Either pre-aggregate duplicates (e.g. keep the max/latest value per
-    (key, ts)) before calling, as the catalog queries do, or pass
-    ``tiebreak``: a right-side column appended to the window order, so
-    the greatest-``tiebreak`` duplicate deterministically wins. Pinned
-    by ``tests/test_temporal.py::
-    test_asof_duplicate_ts_deterministic_with_tiebreak``.
+    at the same instant the carried row is whichever sorted last, which
+    is plan/partitioning-dependent. Either pre-aggregate duplicates
+    (e.g. keep the max/latest value per (key, ts)) before calling, as
+    the catalog queries do, or pass ``tiebreak``: a right-side column
+    appended to the window order, so the greatest-``tiebreak``
+    duplicate deterministically wins. Pinned by ``tests/test_temporal.
+    py::test_asof_duplicate_ts_deterministic_with_tiebreak``.
+
+    All ``value_cols`` are carried as ONE struct through a single
+    ``last(ignorenulls)`` (r6, ADVICE r5): they always come from the
+    same winning right row, even when that row holds NULL in some
+    value column — per-column ``last`` calls could previously fall
+    back to a losing duplicate's (or earlier row's) non-null value.
     """
     if tiebreak is not None and tiebreak not in right.columns:
         raise ValueError(f"tiebreak column {tiebreak!r} not in right side")
-    l = left.withColumn("__src", F.lit(1))
-    for c in value_cols:
-        l = l.withColumn(f"__v_{c}", F.lit(None).cast(dict(right.dtypes)[c]))
-    tb_type = dict(right.dtypes)[tiebreak] if tiebreak is not None else "int"
+    right_types = dict(right.dtypes)
+    # One struct for ALL value columns: a single last(ignorenulls) can
+    # then only ever carry a whole right row, never a column mix.
+    struct_ddl = "struct<" + ",".join(
+        f"`{c}`:{right_types[c]}" for c in value_cols
+    ) + ">"
+    l = left.withColumn("__src", F.lit(1)).withColumn(
+        "__v", F.lit(None).cast(struct_ddl)
+    )
+    tb_type = right_types[tiebreak] if tiebreak is not None else "int"
     l = l.withColumn("__tb", F.lit(None).cast(tb_type))
     r = right.select(
         F.col(on),
@@ -66,11 +75,11 @@ def asof_join(
         F.lit(0).alias("__src"),
         (F.col(tiebreak) if tiebreak is not None else F.lit(None).cast("int"))
         .alias("__tb"),
-        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("__v"),
     )
     left_types = dict(left.dtypes)
     unioned = l.select(
-        *left.columns, "__src", "__tb", *[f"__v_{c}" for c in value_cols]
+        *left.columns, "__src", "__tb", "__v"
     ).unionByName(
         r.select(
             *[
@@ -81,7 +90,7 @@ def asof_join(
             ],
             "__src",
             "__tb",
-            *[f"__v_{c}" for c in value_cols],
+            "__v",
         ),
         allowMissingColumns=False,
     )
@@ -96,14 +105,16 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
+        "*", F.last("__v", ignorenulls=True).over(w).alias("__vw")
+    ).select(
         "*",
         *[
-            F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
+            F.col("__vw").getField(c).alias(f"{prefix}{c}")
             for c in value_cols
         ],
     )
     return carried.filter(F.col("__src") == 1).drop(
-        "__src", "__tb", *[f"__v_{c}" for c in value_cols]
+        "__src", "__tb", "__v", "__vw"
     )
 
 

@@ -1,9 +1,12 @@
 """Multimodal catalog queries (beyond-reference tier) over the
 synthetic media table (documents -> binary payload + typed metadata).
 
-Metadata-plane queries (pure JVM expressions over the deterministic
-construction) are DuckDB-oracle-checked; the decoded-pixel tiers go
-through the fake codec inside ``mapInPandas`` and are rows-only.
+All queries here are DuckDB-oracle-checked (since r5): the
+metadata-plane ones are pure JVM expressions over the deterministic
+construction, and the decoded-pixel tiers (media_decode_stats /
+media_byte_features / media_resize) run the deterministic fake codec
+inside ``mapInPandas`` whose byte math the oracle replays via
+hex-nibble extraction.
 """
 
 from __future__ import annotations

@@ -1098,8 +1098,10 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "into a VARIANT column (binary-encoded, no up-front schema), "
         "typed path extraction with variant_get, null-safe "
         "try_variant_get on a missing path, and schema_of_variant "
-        "inference aggregated per event type. The inferred-schema "
-        "column is a real check: the oracle pins the literal "
+        "inference merged per event type via schema_of_variant_agg "
+        "(surfaces per-row shape drift, unlike a lexicographic max "
+        "over schema strings). The inferred-schema column is a real "
+        "check: the oracle pins the literal "
         "'OBJECT<k: BIGINT>' Spark must infer from the data, and the "
         "extraction aggregates must match DuckDB's JSON path reads. "
         "Complements json_props_stats (from_json with a declared "
@@ -1112,9 +1114,9 @@ def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = ev.select("event_type", F.parse_json("props").alias("v"))
     parsed = v.select(
         "event_type",
+        "v",
         F.expr("variant_get(v, '$.k', 'bigint')").alias("k"),
         F.expr("try_variant_get(v, '$.nope', 'string')").alias("missing"),
-        F.expr("schema_of_variant(v)").alias("vschema"),
     )
     return parsed.groupBy("event_type").agg(
         F.count("k").alias("n_with_k"),
@@ -1122,7 +1124,11 @@ def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("missing").isNull(), 1).otherwise(0))
         .cast("bigint")
         .alias("n_missing"),
-        F.max("vschema").alias("value_schema"),
+        # schema_of_variant_agg merges the per-row schemas (ADVICE r5:
+        # a lexicographic MAX over schema strings would silently hide
+        # per-row shape drift; the merged schema surfaces it, and the
+        # oracle pins the merged literal).
+        F.expr("schema_of_variant_agg(v)").alias("value_schema"),
     )
 
 

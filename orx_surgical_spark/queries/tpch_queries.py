@@ -531,10 +531,15 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q8 shape: national market share — the 8-table join "
         "(lineitem at the center; part/orders/customer/nation/region/"
         "supplier/nation dims) with a conditional-share aggregate per "
-        "year. Every dimension side is broadcast (all far below the "
-        "10 MB threshold), so the fact table is never shuffled until "
-        "the tiny per-year aggregate; the two nation copies are "
-        "separate broadcast builds, not a self-join shuffle.",
+        "year. The seven true dimension sides are broadcast (all far "
+        "below the 10 MB threshold), so the fact table is never "
+        "shuffled until the tiny per-year aggregate; the two nation "
+        "copies are separate broadcast builds, not a self-join "
+        "shuffle. The filtered two-year orders slice also broadcasts "
+        "at the tested SFs via Catalyst's size estimate, but is NOT "
+        "forced: above the threshold it correctly degrades to a "
+        "shuffle join (the right call at 100 TB, where the slice is "
+        "itself huge) — the plan test pins the sf0.001 shape only.",
     tags=("tpch", "multi-join"),
 )
 def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -104,6 +104,43 @@ def test_asof_duplicate_ts_deterministic_with_tiebreak(spark):
         )
 
 
+def test_asof_null_in_winning_row_stays_null(spark):
+    """ADVICE r5: when the greatest-tiebreak duplicate holds NULL in a
+    value column, that NULL must be carried — a per-column last() would
+    fall back to a losing duplicate's (or an earlier row's) non-null
+    value, silently mixing rows. The struct carrier makes the winning
+    row atomic."""
+    left = _ts(
+        spark,
+        [(1, "2024-01-01 10:00:00", "L1")],
+        "k long, ts string, lid string",
+    )
+    right = _ts(
+        spark,
+        [
+            (1, "2024-01-01 08:00:00", 5.0, "old", 1),
+            (1, "2024-01-01 09:00:00", 10.0, "a", 1),
+            (1, "2024-01-01 09:00:00", None, "b", 3),  # wins, v is NULL
+        ],
+        "k long, ts string, v double, tag string, seq int",
+    )
+    for n_parts in (1, 3):
+        out = asof_join(
+            left,
+            right.repartition(n_parts),
+            on="k",
+            left_ts="ts",
+            right_ts="ts",
+            value_cols=["v", "tag"],
+            tiebreak="seq",
+        ).collect()
+        assert len(out) == 1
+        assert out[0]["asof_tag"] == "b"
+        assert out[0]["asof_v"] is None, (
+            "NULL in the winning row must not fall back to another row"
+        )
+
+
 def test_asof_tiebreak_unknown_column_raises(spark):
     import pytest as _pytest
 
