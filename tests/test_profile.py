@@ -61,3 +61,54 @@ def test_save_report_bivariate_section(spark, sf_dir, tmp_path):
     html = open(out).read()
     assert "Bivariate (Pearson r)" in html and "pearson_r" in html
     assert "Univariate" in html
+
+
+def test_histograms_one_job_matches_per_column(spark, sf_dir):
+    """The combined multi-column histogram must (a) reproduce the
+    per-column histogram counts exactly and (b) run as ONE Spark job
+    for the whole batch (VERDICT r5 item 3: no 2-scans-per-column)."""
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    row = li.agg(
+        *[
+            agg
+            for c in cols
+            for agg in (F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}"))
+        ]
+    ).collect()[0]
+    bounds = {c: (row[f"lo_{c}"], row[f"hi_{c}"]) for c in cols}
+
+    combined = profile.histograms(li, bounds, n_bins=10)
+
+    # One SCAN for the whole batch (the claim that matters at 100 TB)
+    plan = combined._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup()
+    got = combined.collect()
+    new_jobs = [j for j in tracker.getJobIdsForGroup() if j not in before]
+    # <= 2: AQE runs the shuffle-map stage and the result stage as
+    # separate jobs; both belong to the same single-scan query.
+    assert len(new_jobs) <= 2, (
+        f"combined histogram must be one single-scan query, saw "
+        f"{len(new_jobs)} jobs"
+    )
+
+    for c in cols:
+        solo = {
+            r["bucket"]: r["n"]
+            for r in profile.histogram(li, c, n_bins=10, bounds=bounds[c]).collect()
+        }
+        comb = {r["bucket"]: r["n"] for r in got if r["column_name"] == c}
+        assert comb == solo, f"{c}: combined histogram diverges from per-column"
+
+
+def test_save_report_distribution_section(spark, sf_dir, tmp_path):
+    li = load_table(spark, sf_dir, "lineitem")
+    out = profile.save_report(
+        li, ["l_quantity", "l_discount"], str(tmp_path / "report3.html")
+    )
+    html = open(out).read()
+    assert "Distributions" in html and "bucket" in html
