@@ -69,3 +69,32 @@ def batch_score(
         input_tensor_shapes=[[len(feature_cols)]],
     )
     return df.withColumn(out, udf(F.array(*[F.col(c) for c in feature_cols])))
+
+
+def external_checkpoint_model(path: str) -> Callable[[], Callable]:
+    """A ``make_predict_fn`` factory over a REAL saved checkpoint.
+
+    This is the external-DL parity path with actual trained weights
+    (scripts/train_external_weights.py — the offline stand-in for the
+    reference's Keras training run, ``cnn_model.ipynb:61 (cell 2)``):
+    the checkpoint file is opened INSIDE ``make_predict_fn``, i.e. once
+    per python worker, exactly where a Keras ``load_model`` would run —
+    the closure ships only the path string to executors, never the
+    weights themselves.
+    """
+
+    def make_predict_fn():
+        import json
+
+        with open(path) as f:
+            ckpt = json.load(f)
+        w = np.asarray(ckpt["weights"], dtype=np.float64)
+        b = float(ckpt["bias"])
+
+        def predict(x: np.ndarray) -> np.ndarray:
+            x = np.asarray(x, dtype=np.float64)
+            return 1.0 / (1.0 + np.exp(-(x @ w + b)))
+
+        return predict
+
+    return make_predict_fn

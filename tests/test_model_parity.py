@@ -82,16 +82,12 @@ def test_g8_rounded_accuracy(spark, cms_dir):
 
 def _mhe_shaped_fixture(spark, n=2000, n_feats=64, n_informative=12, d=0.15):
     """Balanced binary-label corpus with MHE-shaped (sparse 0/1) features
-    whose informative columns shift P(x=1) by ±d with the label — signal
-    calibrated so a well-fit scorer lands inside BASELINE.md's deep-model
-    AUC band (CNN 0.8831 / RNN 0.7692 → band 0.73-0.88)."""
-    import numpy as np
+    (single numpy source of truth: testing.mhe_shaped_arrays — also what
+    scripts/train_external_weights.py trains the frozen external
+    checkpoint on)."""
+    from orx_surgical_spark.testing import mhe_shaped_arrays
 
-    rng = np.random.default_rng(7)
-    y = np.arange(n) % 2
-    p = np.full((n, n_feats), 0.5)
-    p[:, :n_informative] = np.where(y[:, None] == 1, 0.5 + d, 0.5 - d)
-    x = (rng.random((n, n_feats)) < p).astype(float)
+    x, y = mhe_shaped_arrays(n, n_feats, n_informative, d)
     rows = [
         (int(i), [float(v) for v in x[i]], float(y[i])) for i in range(n)
     ]
@@ -119,3 +115,45 @@ def test_mlp_auc_in_baseline_band(spark):
     )
     auc = metrics.roc_auc(scored, "score", "label")
     assert 0.73 <= auc <= 0.88, auc
+
+
+def test_external_checkpoint_auc_in_band(spark):
+    """F3 external-model tier with REAL trained weights (VERDICT r5
+    item 7): the frozen checkpoint (scripts/train_external_weights.py,
+    the offline stand-in for the reference's Keras run) scores the
+    parity corpus's test split through the actual predict_batch_udf
+    path. Band: [0.85, 0.93] — the floor clears the reference CNN's
+    0.8831 (BASELINE.md: a converged fit of the same model family must
+    not score WORSE than the reference's 10-epoch run; measured
+    0.9122), and the ceiling is this corpus's Bayes-optimal AUC
+    (sum-of-informative-features statistic scores 0.9262 on the test
+    split), so anything above it can only be label leakage. The MLP's
+    wider 0.73-0.88 band (test above) reflects that solver's noisier
+    fit, not the checkpoint path's."""
+    import os
+
+    from pyspark.ml.functions import vector_to_array
+
+    from orx_surgical_spark.operators.inference import (
+        batch_score,
+        external_checkpoint_model,
+    )
+
+    ckpt = os.path.join(
+        os.path.dirname(__file__), "..", "goldens", "external_cnn_weights.json"
+    )
+    data = _mhe_shaped_fixture(spark)
+    test = (
+        data.filter(F.col("event_id") % 5 == 0)
+        .withColumn("raw", vector_to_array("features"))
+        .select(
+            "event_id",
+            "label",
+            *[F.col("raw")[i].alias(f"f{i}") for i in range(64)],
+        )
+    )
+    scored = batch_score(
+        test, external_checkpoint_model(ckpt), [f"f{i}" for i in range(64)]
+    )
+    auc = metrics.roc_auc(scored.select("label", "score"), "score", "label")
+    assert 0.85 <= auc <= 0.93, auc
