@@ -108,6 +108,17 @@ def test_driver_contract_docs_in_sync():
         f"__spark_entry__.py docstring stale: registry has {n_registry} entries"
     )
 
+    n_oracle = sum(1 for q in REGISTRY.values() if q.oracle)
+    readme = " ".join((root / "README.md").read_text().split())
+    assert f"({n_oracle} of {n_registry} registry entries)" in readme, (
+        f"README.md correctness counts stale: {n_oracle} of {n_registry}"
+    )
+    n_exposed_oracle = sum(1 for q in exposed().values() if q.oracle)
+    assert (
+        f"all {n_exposed_oracle} driver-exposed entries carry a value-hash"
+        in readme
+    ), "README.md driver-exposure claim stale"
+
 
 def test_oracle_panels_have_oracle_members_only():
     for panel, ms in ORACLE_PANELS.items():
