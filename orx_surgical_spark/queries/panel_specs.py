@@ -2,7 +2,7 @@
 
 The grading driver's correctness gate checks at most ~50 queries per
 round (round 1 recorded exactly the first 50 catalog names
-alphabetically), while the full registry declares 169 fine-grained
+alphabetically), while the full registry declares 174 fine-grained
 entries. To get EVERY SURVEY §2 operator a driver-green row, the
 driver-facing surface (``__spark_entry__.queries()``) exposes:
 
@@ -15,7 +15,7 @@ driver-facing surface (``__spark_entry__.queries()``) exposes:
   oracle applies the identical serialization to each member's oracle
   SQL.
 
-The internal registry keeps all 169 fine-grained entries: tests and
+The internal registry keeps all 174 fine-grained entries: tests and
 ``bench.py`` keep their per-operator resolution.
 
 Exception: the two quadratic exact baselines in ``REGISTRY_INTERNAL``
@@ -103,6 +103,13 @@ ORACLE_PANELS: dict[str, tuple[str, ...]] = {
         "q21_suppliers_kept_waiting",  # r5: stacked semi+anti
         "q22_dormant_rich_customers",
         "nations_per_region_agg",
+        # r6: the partsupp-dependent five, over the deterministic
+        # derived-partsupp (distinct lineitem pairs + md5 attrs)
+        "q2_min_cost_supplier",
+        "q9_product_type_profit",
+        "q11_important_stock",
+        "q16_parts_supplier_counts",
+        "q20_excess_availability",
     ),
     "panel_olap": (
         "cube_order_stats",

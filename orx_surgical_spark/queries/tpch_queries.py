@@ -2,10 +2,12 @@
 
 Q1/Q3/Q5 shapes live in :mod:`relational_queries` (pricing_summary,
 shipping_priority, local_supplier_volume); this module adds the Q4 /
-Q6 / Q12 / Q14 / Q18 / Q19 / Q22 shapes, adapted to the synthetic
-schema (no commitdate/receiptdate/shipmode/phone columns — the
-predicates are re-based on the columns that exist, the plan shapes are
-the canonical ones).
+Q6 / Q12 / Q14 / Q18 / Q19 / Q22 shapes plus (r6) the
+partsupp-dependent Q2 / Q9 / Q11 / Q16 / Q20 over a deterministic
+derived partsupp, all adapted to the synthetic schema (no
+commitdate/receiptdate/shipmode/phone columns — the predicates are
+re-based on the columns that exist, the plan shapes are the canonical
+ones).
 Each documents the physical plan Catalyst should pick; value-identical
 DuckDB oracles gate the results.
 """
@@ -720,4 +722,359 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2/Q9/Q11/Q16/Q20: the partsupp-dependent shapes (r6).
+#
+# The synthetic schema ships no partsupp table, but lineitem carries the
+# (l_partkey, l_suppkey) relationship instances, so partsupp is DERIVED
+# deterministically: the distinct observed pairs, plus availqty/
+# supplycost from the first 16 bits of an md5 over the key pair — the
+# same engine-independent arithmetic as encoders.hash_fraction, so the
+# DuckDB oracle rebuilds the identical table from the same parquet. At
+# scale this derivation is one distinct-aggregate over the fact table
+# (shuffle on the pair key), done once and reused per query plan.
+# ---------------------------------------------------------------------------
+
+# DuckDB side of the 16-bit md5 prefix (hex-nibble arithmetic; same
+# idiom as encoder_queries._H16).
+_PS_HEX = "strpos('0123456789abcdef', substr(h, {i}, 1)) - 1"
+_PS_H16 = " + ".join(f"({_PS_HEX.format(i=i + 1)}) * {16 ** (3 - i)}" for i in range(4))
+
+_PARTSUPP_CTE = f"""
+    WITH ps_h AS (
+      SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             md5(CAST(l_partkey AS VARCHAR) || '-' || CAST(l_suppkey AS VARCHAR)) AS h
+      FROM lineitem
+    ), partsupp AS (
+      SELECT ps_partkey, ps_suppkey,
+             CAST(({_PS_H16}) % 9999 + 1 AS INTEGER) AS ps_availqty,
+             ROUND(CAST(({_PS_H16}) % 100000 AS DOUBLE) / 100.0 + 1.0, 2)
+               AS ps_supplycost
+      FROM ps_h
+    )
+"""
+
+
+def derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The partsupp derivation (see module comment): distinct observed
+    (part, supplier) pairs + md5-deterministic availqty/supplycost."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).distinct()
+    h16 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "-",
+                    F.col("ps_partkey").cast("string"),
+                    F.col("ps_suppkey").cast("string"),
+                ).cast("binary")
+            ),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("int")
+    return pairs.select(
+        "ps_partkey",
+        "ps_suppkey",
+        (h16 % 9999 + 1).cast("int").alias("ps_availqty"),
+        F.round((h16 % 100000).cast("double") / 100.0 + 1.0, 2).alias(
+            "ps_supplycost"
+        ),
+    )
+
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle=_PARTSUPP_CTE + """
+    , eu AS (
+      SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+      FROM supplier s
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ), cand AS (
+      SELECT p.p_partkey, eu.s_name, eu.s_acctbal, eu.n_name,
+             ps.ps_supplycost
+      FROM partsupp ps
+      JOIN part p ON ps.ps_partkey = p.p_partkey
+      JOIN eu ON ps.ps_suppkey = eu.s_suppkey
+      WHERE p.p_type = 'LARGE'
+    ), mn AS (
+      SELECT p_partkey, MIN(ps_supplycost) AS min_cost
+      FROM cand GROUP BY p_partkey
+    )
+    SELECT c.s_acctbal, c.s_name, c.n_name, c.p_partkey,
+           ROUND(c.ps_supplycost, 2) AS ps_supplycost
+    FROM cand c JOIN mn ON c.p_partkey = mn.p_partkey
+                       AND c.ps_supplycost = mn.min_cost
+    ORDER BY c.s_acctbal DESC, c.n_name, c.s_name, c.p_partkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q2 shape: cheapest EUROPE supplier per LARGE part — the "
+        "correlated MIN subquery decorrelated into a per-part min "
+        "aggregate joined back to the candidates (ties kept, per spec). "
+        "supplier/nation/region/part are all broadcast dims; partsupp "
+        "(the derived distinct over lineitem) shuffles once on the "
+        "pair key; TakeOrderedAndProject caps the output at 20. "
+        "Adaptation: no p_mfgr/s_address columns in the synthetic "
+        "schema, so the projection carries the columns that exist.",
+    tags=("tpch", "partsupp", "correlated-min"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = derived_partsupp(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part").where(F.col("p_type") == "LARGE")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    eu = (
+        sup.join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cand = (
+        ps.join(F.broadcast(part), ps["ps_partkey"] == part["p_partkey"])
+        .join(F.broadcast(eu), ps["ps_suppkey"] == eu["s_suppkey"])
+        .select("p_partkey", "s_name", "s_acctbal", "n_name", "ps_supplycost")
+    )
+    mn = (
+        cand.groupBy("p_partkey")
+        .agg(F.min("ps_supplycost").alias("min_cost"))
+        .withColumnRenamed("p_partkey", "mn_partkey")  # self-lineage join:
+        # cand and mn share column ids, so rename the aggregate's key
+    )
+    return (
+        cand.join(
+            mn,
+            (cand["p_partkey"] == mn["mn_partkey"])
+            & (cand["ps_supplycost"] == mn["min_cost"]),
+        )
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey",
+            F.round("ps_supplycost", 2).alias("ps_supplycost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(20)
+    )
+
+
+@register(
+    "q9_product_type_profit",
+    oracle=_PARTSUPP_CTE + """
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
+           -- exact decimal arithmetic on both sides: a double SUM's
+           -- last bits can land either side of the half-cent boundary
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                          - CAST(ps.ps_supplycost AS DECIMAL(18,2))
+                            * CAST(l.l_quantity AS DECIMAL(18,2))), 2)
+                AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN partsupp ps ON l.l_partkey = ps.ps_partkey
+                    AND l.l_suppkey = ps.ps_suppkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY nation, o_year
+    """,
+    doc="TPC-H Q9 shape: product-type profit — revenue minus supply "
+        "cost per (supplier nation, order year) over parts whose name "
+        "matches. part/supplier/nation broadcast; the partsupp "
+        "derivation and orders co-shuffle with lineitem on their join "
+        "keys; the LIKE filter prunes parts before the fact join.",
+    tags=("tpch", "partsupp", "multi-join"),
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = derived_partsupp(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").like("%widget%")
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    j = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(
+            ps,
+            (li["l_partkey"] == ps["ps_partkey"])
+            & (li["l_suppkey"] == ps["ps_suppkey"]),
+        )
+        .join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+    )
+    return (
+        j.select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            (
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+                - F.col("ps_supplycost").cast("decimal(18,2)")
+                * F.col("l_quantity").cast("decimal(18,2)")
+            ).alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 2).cast("double").alias("profit"))
+    )
+
+
+@register(
+    "q11_important_stock",
+    oracle=_PARTSUPP_CTE + """
+    , asia AS (
+      SELECT s.s_suppkey
+      FROM supplier s
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'ASIA'
+    ), v AS (
+      SELECT ps.ps_partkey,
+             SUM(ps.ps_supplycost * ps.ps_availqty) AS value
+      FROM partsupp ps JOIN asia a ON ps.ps_suppkey = a.s_suppkey
+      GROUP BY ps.ps_partkey
+    )
+    SELECT ps_partkey, ROUND(value, 2) AS stock_value
+    FROM v
+    WHERE value > (SELECT SUM(value) * 0.001 FROM v)
+    """,
+    doc="TPC-H Q11 shape: important stock — per-part inventory value "
+        "for one region's suppliers, kept only above a fraction "
+        "(0.001, scaled so every graded SF keeps rows) of the "
+        "GLOBAL total (scalar subquery over the same aggregate). The "
+        "per-part aggregate computes once and is self-joined against "
+        "its own tiny global sum (a broadcast of one row), not "
+        "recomputed.",
+    tags=("tpch", "partsupp", "scalar-subquery"),
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = derived_partsupp(spark, sf_dir)
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    asia = (
+        sup.join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+        .select("s_suppkey")
+    )
+    v = (
+        ps.join(F.broadcast(asia), ps["ps_suppkey"] == asia["s_suppkey"])
+        .groupBy("ps_partkey")
+        .agg(F.sum(F.col("ps_supplycost") * F.col("ps_availqty")).alias("value"))
+    )
+    total = v.agg((F.sum("value") * 0.001).alias("cutoff"))
+    return (
+        v.join(F.broadcast(total))
+        .where(F.col("value") > F.col("cutoff"))
+        .select("ps_partkey", F.round("value", 2).alias("stock_value"))
+    )
+
+
+@register(
+    "q16_parts_supplier_counts",
+    oracle=_PARTSUPP_CTE + """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT ps.ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM partsupp ps
+    JOIN part p ON ps.ps_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND ps.ps_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_name LIKE '%0'
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    doc="TPC-H Q16 shape: supplier counts per (brand, type, size) with "
+        "a NOT IN supplier blacklist — a broadcast LEFT ANTI join (the "
+        "blacklist is tiny), a broadcast part-dim join with pushed "
+        "brand/type/size filters, then count-distinct per group. "
+        "Adaptation: no comment column, so the 'complaints' blacklist "
+        "is the deterministic s_name LIKE '%0' stand-in.",
+    tags=("tpch", "partsupp", "anti-join"),
+)
+def q16_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = derived_partsupp(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+    )
+    bad = load_table(spark, sf_dir, "supplier").where(
+        F.col("s_name").like("%0")
+    ).select("s_suppkey")
+    return (
+        ps.join(F.broadcast(bad), ps["ps_suppkey"] == bad["s_suppkey"], "left_anti")
+        .join(F.broadcast(part), ps["ps_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q20_excess_availability",
+    oracle=_PARTSUPP_CTE + """
+    , bolt_parts AS (
+      SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%'
+    ), shipped AS (
+      SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+      FROM lineitem
+      WHERE EXTRACT(year FROM l_shipdate) = 1996
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT DISTINCT s.s_name
+    FROM partsupp ps
+    JOIN bolt_parts b ON ps.ps_partkey = b.p_partkey
+    JOIN shipped sh ON ps.ps_partkey = sh.l_partkey
+                   AND ps.ps_suppkey = sh.l_suppkey
+    JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+    WHERE ps.ps_availqty > 0.5 * sh.qty
+    ORDER BY s.s_name
+    """,
+    doc="TPC-H Q20 shape: suppliers with excess availability — availqty "
+        "above half of the 1996 shipped quantity of that (part, "
+        "supplier), restricted to parts matching a name pattern. The "
+        "correlated quantity subquery decorrelates into one grouped "
+        "aggregate over the filtered fact slice, equi-joined on the "
+        "pair key; part filter and supplier dim broadcast.",
+    tags=("tpch", "partsupp", "decorrelated"),
+)
+def q20_excess_availability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = derived_partsupp(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").like("%bolt%")
+    ).select("p_partkey")
+    sup = load_table(spark, sf_dir, "supplier")
+    shipped = (
+        li.where(F.year("l_shipdate") == 1996)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    return (
+        ps.join(F.broadcast(part), ps["ps_partkey"] == part["p_partkey"])
+        .join(
+            shipped,
+            (ps["ps_partkey"] == shipped["l_partkey"])
+            & (ps["ps_suppkey"] == shipped["l_suppkey"]),
+        )
+        .where(F.col("ps_availqty") > 0.5 * F.col("qty"))
+        .join(F.broadcast(sup), ps["ps_suppkey"] == sup["s_suppkey"])
+        .select("s_name")
+        .distinct()
+        .orderBy("s_name")
     )
