@@ -48,6 +48,15 @@ def main() -> int:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     ap.add_argument("--json-out", default=None)
+    ap.add_argument(
+        "--driver-memory",
+        default="4g",
+        help="JVM heap for the probe session. The conf surface stays "
+        "vanilla (driver parity) but the HEAP must scale with the probe "
+        "SF: pyspark's default 1g OOMs on the sf0.1 MLP fit after 20+ "
+        "queries of accumulated session state (r6), which measures the "
+        "JVM default, not the engine.",
+    )
     args = ap.parse_args()
     results: dict[str, dict] = {}
 
@@ -57,6 +66,7 @@ def main() -> int:
     spark = (
         SparkSession.builder.master(f"local[{args.cpus}]")
         .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", args.driver_memory)
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
