@@ -409,3 +409,47 @@ def chunk_tokens(
         return F.slice(toks, i * stride + 1, window)
 
     return idx, chunk_at
+
+
+def unigram_perplexity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document cross-entropy / perplexity under the corpus's own
+    unigram distribution — the classic perplexity quality filter for
+    pretraining data (documents far from the corpus distribution are
+    boilerplate, gibberish, or wrong-language outliers).
+
+    Two aggregate passes, both at-scale shapes:
+
+    1. global unigram counts (one shuffle on token) + the corpus total
+       (a one-row aggregate broadcast back);
+    2. per-token log-probability via an equi-join of the token stream
+       with the count table on ``token`` (NOT a broadcast: real vocabs
+       are huge; the join co-shuffles token streams, the 100 TB shape),
+       then one per-document aggregate.
+
+    Every token is in-vocabulary by construction (the corpus scores
+    itself), so no smoothing term is needed and both engines compute
+    identical exact count ratios before the single ``ln``.
+    Returns (id, n_tokens, cross_entropy, perplexity).
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("token")
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").cast("double").alias("t"))
+    scored = (
+        toks.join(counts, "token")
+        .join(F.broadcast(total))  # one row
+        .select(
+            F.col(id_col),
+            (-F.log(F.col("c") / F.col("t"))).alias("nll"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.round(F.avg("nll"), 6).alias("cross_entropy"),
+        F.round(F.exp(F.avg("nll")), 4).alias("perplexity"),
+    )

@@ -409,3 +409,39 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).alias("n_chunk_tokens"),
         F.md5(F.concat_ws(" ", chunk).cast("binary")).alias("chunk_hash"),
     )
+
+
+@register(
+    "unigram_perplexity_scores",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS token
+      FROM documents
+    ), toks_ne AS (
+      SELECT doc_id, token FROM toks WHERE token <> ''
+    ), counts AS (
+      SELECT token, COUNT(*) AS c FROM toks_ne GROUP BY token
+    ), total AS (
+      SELECT CAST(SUM(c) AS DOUBLE) AS t FROM counts
+    )
+    SELECT tn.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(-ln(c.c / total.t)), 6) AS cross_entropy,
+           ROUND(exp(AVG(-ln(c.c / total.t))), 4) AS perplexity
+    FROM toks_ne tn
+    JOIN counts c ON tn.token = c.token
+    CROSS JOIN total
+    GROUP BY tn.doc_id
+    """,
+    doc="Perplexity quality filter: per-doc cross-entropy/perplexity "
+        "under the corpus's own unigram distribution (outlier docs — "
+        "boilerplate, gibberish, wrong language — score high). Global "
+        "counts shuffle once on token; the token stream equi-joins the "
+        "count table (co-shuffled, never broadcast — real vocabs are "
+        "huge); one per-doc aggregate. See operators/text.py:"
+        "unigram_perplexity.",
+    tags=("text", "quality", "perplexity"),
+)
+def unigram_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return X.unigram_perplexity(docs)
