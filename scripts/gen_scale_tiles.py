@@ -86,21 +86,30 @@ def main() -> None:
             con.execute(f"COPY (SELECT * FROM {t}) TO '{dest}' (FORMAT PARQUET)")
             print(f"{t}: shared dim, copied as-is")
             continue
+        # One FILE PER TILE under a directory named <table>.parquet
+        # (spark.read.parquet handles the directory transparently): a
+        # single monolithic file caps the scan at file-size/4MB splits
+        # — the first sf1 soak attempt trained the RF on 3 cores
+        # because of exactly that. Many files is also the layout real
+        # datasets actually have.
+        os.makedirs(dest, exist_ok=True)
         cols = [d[0] for d in con.execute(f"DESCRIBE {t}").fetchall()]
-        exprs = []
-        for c in cols:
-            stride = strides.get((t, c))
-            if stride is not None:
-                exprs.append(f"{c} + k.k * {stride} AS {c}")
-            else:
-                exprs.append(c)
-        con.execute(
-            f"COPY (SELECT {', '.join(exprs)} FROM {t} "
-            f"CROSS JOIN (SELECT UNNEST(range({args.tiles})) AS k) k) "
-            f"TO '{dest}' (FORMAT PARQUET)"
-        )
-        n = con.execute(f"SELECT COUNT(*) FROM read_parquet('{dest}')").fetchone()[0]
-        print(f"{t}: tiled x{args.tiles} -> {n} rows")
+        for k in range(args.tiles):
+            exprs = []
+            for c in cols:
+                stride = strides.get((t, c))
+                if stride is not None:
+                    exprs.append(f"{c} + {k} * {stride} AS {c}")
+                else:
+                    exprs.append(c)
+            con.execute(
+                f"COPY (SELECT {', '.join(exprs)} FROM {t}) TO "
+                f"'{dest}/tile-{k:02d}.parquet' (FORMAT PARQUET)"
+            )
+        n = con.execute(
+            f"SELECT COUNT(*) FROM read_parquet('{dest}/*.parquet')"
+        ).fetchone()[0]
+        print(f"{t}: tiled x{args.tiles} -> {n} rows in {args.tiles} files")
 
 
 if __name__ == "__main__":
