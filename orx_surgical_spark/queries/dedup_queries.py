@@ -157,17 +157,20 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5
     """,
-    doc="Exact 3-gram-shingle Jaccard near-dup pairs, lang-blocked: the "
-        "pair join keys on the language column, so each block shuffles "
-        "to its own reducers and cross-block pairs never materialize — "
-        "the shape you'd run at 100 TB (near-dups across languages are "
-        "not meaningful for shingle Jaccard). The unblocked exact "
-        "baseline stays registry-internal.",
+    doc="Exact 3-gram-shingle Jaccard near-dup pairs, lang-blocked AND "
+        "prefix-filtered (r6): language blocking alone is quadratic in "
+        "block size (the sf1 soak measured the all-pairs-within-lang "
+        "shape at 50x its sf0.1 wall), so candidates now come from the "
+        "lossless AllPairs/PPJoin prefix filter — an equi-join on "
+        "(lang, rare-first prefix shingle) plus a size band; only "
+        "candidates pay the exact intersect/union. Output is "
+        "byte-identical to the naive spec (the DuckDB oracle), pinned "
+        "against the registry-internal quadratic baseline in tests.",
     tags=("dedup", "jaccard"),
 )
 def ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
-    return D.ngram_jaccard_pairs(docs, n=3, threshold=0.5, block_col="lang")
+    return D.ngram_jaccard_pairs_prefix(docs, n=3, threshold=0.5, block_col="lang")
 
 
 def _simhash_oracle() -> str:

@@ -169,28 +169,3 @@ def write_bucketed(
         writer = writer.sortBy(*sort_by)
     writer.format("parquet").saveAsTable(table)
 
-
-def write_bucketed_table(
-    df: DataFrame,
-    table: str,
-    bucket_col: str,
-    n_buckets: int = 8,
-    sort_col: str | None = None,
-) -> None:
-    """Persist as a BUCKETED (optionally sorted) managed parquet table.
-
-    Bucketing is the co-location tool for repeated big-big equi-joins
-    and aggregations on the same key at 100 TB: both sides pre-hashed
-    into the same bucket count means later joins read bucket-aligned
-    splits and skip the shuffle entirely (and with ``sort_col``, the
-    sort too). The exchange-free plan is asserted in
-    ``tests/test_plans.py::test_bucketed_join_skips_shuffle``.
-    """
-    writer = (
-        df.write.mode("overwrite")
-        .format("parquet")
-        .bucketBy(n_buckets, bucket_col)
-    )
-    if sort_col is not None:
-        writer = writer.sortBy(sort_col)
-    writer.saveAsTable(table)

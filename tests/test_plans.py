@@ -255,40 +255,3 @@ def test_q20_no_cartesian_and_filter_pushdown(spark, sf_dir):
     # aggregate sees a filtered child, not the raw table.
     assert "year(l_shipdate" in plan or "l_shipdate" in plan
 
-
-def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path):
-    """Bucketing (r6): two tables bucketed into the same count on the
-    join key must join with NO Exchange on either side — the at-scale
-    co-location shape for repeated big-big joins. Broadcast is disabled
-    so the test can't pass via a broadcast plan."""
-    from orx_surgical_spark.sources.readers import write_bucketed_table
-
-    spark.sql(
-        f"CREATE DATABASE IF NOT EXISTS bucket_demo LOCATION '{tmp_path}'"
-    )
-    orders = load_table(spark, sf_dir, "orders")
-    cust = load_table(spark, sf_dir, "customer")
-    write_bucketed_table(
-        orders, "bucket_demo.orders_b", "o_custkey", n_buckets=8
-    )
-    write_bucketed_table(
-        cust, "bucket_demo.customer_b", "c_custkey", n_buckets=8
-    )
-    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    try:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        ob = spark.table("bucket_demo.orders_b")
-        cb = spark.table("bucket_demo.customer_b")
-        joined = ob.join(cb, ob["o_custkey"] == cb["c_custkey"]).select(
-            "o_orderkey", "c_name"
-        )
-        plan = plan_str(joined)
-        assert "SortMergeJoin" in plan
-        assert "Exchange" not in plan, plan
-        # sanity: the join actually returns rows
-        assert joined.count() > 0
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-        spark.sql("DROP TABLE IF EXISTS bucket_demo.orders_b")
-        spark.sql("DROP TABLE IF EXISTS bucket_demo.customer_b")
-        spark.sql("DROP DATABASE IF EXISTS bucket_demo")
