@@ -56,3 +56,51 @@ def test_overflow_side_channel_reports_hot_buckets(spark):
         ),
     )
     assert D.lsh_bucket_overflow(clean, max_bucket=16).count() == 0
+
+
+def test_prefix_filtered_jaccard_equals_naive(spark, sf_dir):
+    """ngram_jaccard_pairs_prefix must return byte-identically the
+    naive quadratic operator's rows (the prefix filter is lossless for
+    any global total order) — on the real documents table and on an
+    adversarial mini-corpus with ties, empties, and exact dups."""
+    from orx_surgical_spark.operators import dedup as D
+    from orx_surgical_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    naive = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in D.ngram_jaccard_pairs(
+            docs, n=3, threshold=0.5, block_col="lang"
+        ).collect()
+    }
+    fast = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in D.ngram_jaccard_pairs_prefix(
+            docs, n=3, threshold=0.5, block_col="lang"
+        ).collect()
+    }
+    assert fast == naive
+
+    rows = [
+        (1, "a b c d e f", "en"),
+        (2, "a b c d e f", "en"),      # exact dup of 1
+        (3, "a b c d e zz", "en"),     # near dup of 1
+        (4, "completely different words here now", "en"),
+        (5, "a b", "en"),              # too short for 3-shingles
+        (6, "a b c d e f", "de"),      # same text, other block
+    ]
+    mini = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    naive = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in D.ngram_jaccard_pairs(
+            mini, n=3, threshold=0.5, block_col="lang"
+        ).collect()
+    }
+    fast = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in D.ngram_jaccard_pairs_prefix(
+            mini, n=3, threshold=0.5, block_col="lang"
+        ).collect()
+    }
+    assert fast == naive
+    assert (1, 2, 1.0) in fast  # the exact dup survives the filter
