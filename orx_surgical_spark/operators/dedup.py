@@ -454,3 +454,89 @@ def mllib_minhash_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level (sub-document) dedup
+# ---------------------------------------------------------------------------
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_tokens: int = 20,
+) -> DataFrame:
+    """Sub-document deduplication at paragraph granularity — the
+    Dolma/FineWeb-style pass that removes *repeated passages* (boiler-
+    plate, mirrored quotes) while keeping the documents themselves.
+
+    Paragraph := consecutive ``seg_tokens``-token segment of the
+    whitespace-token stream (the synthetic corpus has no newline
+    structure; on real data the splitter is '\\n\\n' and the rest of the
+    shape is identical). First global occurrence wins, ordered by
+    ``(id, seg_idx)`` — a deterministic total order both engines share.
+
+    Shape at scale: explode to one row per segment (map-only),
+    ``row_number`` over the md5 segment hash (ONE shuffle on the hash —
+    the dedup shuffle), then one per-document ordered re-aggregation
+    (second shuffle on doc id). No joins, no all-pairs anything; state
+    per hash group is the duplicate multiplicity, which LSH-tier ops
+    upstream keep small.
+
+    Returns (id, n_segs, n_kept, cleaned_len, cleaned_md5): counts +
+    the reassembled text pinned by md5 (the full text column stays
+    available by swapping the final projection).
+    """
+    from pyspark.sql.window import Window
+
+    toks = tokens(text_col)
+    n_segs = F.ceil(F.size(toks) / F.lit(seg_tokens)).cast("int")
+    segs = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(0), n_segs - 1)).alias("seg_idx"),
+            toks.alias("toks"),
+        )
+        .select(
+            id_col,
+            "seg_idx",
+            F.array_join(
+                F.slice("toks", F.col("seg_idx") * seg_tokens + 1, seg_tokens),
+                " ",
+            ).alias("seg"),
+        )
+        .withColumn("h", F.md5("seg"))
+    )
+    first = Window.partitionBy("h").orderBy(F.col(id_col), F.col("seg_idx"))
+    kept = segs.withColumn("rn", F.row_number().over(first))
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_segs"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+            .cast("int")
+            .alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("rn") == 1,
+                                F.struct(F.col("seg_idx"), F.col("seg")),
+                            )
+                        )
+                    ),
+                    lambda x: x["seg"],
+                ),
+                " ",
+            ).alias("_cleaned"),
+        )
+        .select(
+            id_col,
+            "n_segs",
+            "n_kept",
+            F.length("_cleaned").cast("int").alias("cleaned_len"),
+            F.md5("_cleaned").alias("cleaned_md5"),
+        )
+    )

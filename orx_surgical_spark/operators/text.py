@@ -453,3 +453,41 @@ def unigram_perplexity(
         F.round(F.avg("nll"), 6).alias("cross_entropy"),
         F.round(F.exp(F.avg("nll")), 4).alias("perplexity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction
+# ---------------------------------------------------------------------------
+
+#: Detection patterns shared verbatim by the Spark (Java regex) and
+#: DuckDB (RE2) engines — restricted to the common dialect subset
+#: (character classes, bounded repetition, non-capturing groups, \b),
+#: so both sides match byte-identically. Ordered: redaction applies in
+#: this order and counts are taken on the ORIGINAL text, so the three
+#: counts are mutually independent.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "[EMAIL]"),
+    "ipv4": (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "[IP]"),
+    "id_number": (r"\b\d{3}-\d{2}-\d{4}\b", "[ID]"),
+}
+
+
+def pii_counts(col: str | Column) -> dict[str, Column]:
+    """Per-pattern match counts on the original text (``regexp_count``,
+    JVM-side, map-only)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        name: F.regexp_count(c, F.lit(pat)).cast("int")
+        for name, (pat, _) in PII_PATTERNS.items()
+    }
+
+
+def pii_redact(col: str | Column) -> Column:
+    """Redact every PII pattern with its placeholder token — chained
+    ``regexp_replace`` in ``PII_PATTERNS`` order, a pure map-only JVM
+    projection (the scrubbing pass of a training-data pipeline: no
+    shuffle, no Python, safe at any scale)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, token in PII_PATTERNS.values():
+        c = F.regexp_replace(c, pat, token)
+    return c

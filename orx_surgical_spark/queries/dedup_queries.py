@@ -392,3 +392,43 @@ def corpus_curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("kept_chars"),
     )
+
+
+@register(
+    "paragraph_dedup_docs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), s AS (
+      SELECT doc_id, CAST(u.i AS INT) AS seg_idx,
+             array_to_string(toks[u.i*20+1:u.i*20+20], ' ') AS seg
+      FROM t, unnest(range(CAST(ceil(len(toks)/20.0) AS BIGINT))) AS u(i)
+    ), k AS (
+      SELECT doc_id, seg_idx, seg,
+             row_number() OVER (
+               PARTITION BY md5(seg) ORDER BY doc_id, seg_idx) AS rn
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(count(*) AS INTEGER) AS n_segs,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INTEGER)
+               AS n_kept,
+           CAST(length(coalesce(
+               string_agg(CASE WHEN rn = 1 THEN seg END, ' '
+                          ORDER BY seg_idx), '')) AS INTEGER)
+               AS cleaned_len,
+           md5(coalesce(
+               string_agg(CASE WHEN rn = 1 THEN seg END, ' '
+                          ORDER BY seg_idx), '')) AS cleaned_md5
+    FROM k GROUP BY doc_id
+    """,
+    doc="Paragraph-level (sub-document) dedup, Dolma/FineWeb-style: "
+        "20-token segments, first global occurrence wins (ordered by "
+        "doc_id, seg_idx), documents reassembled from surviving "
+        "segments. One shuffle on the segment hash + one per-doc "
+        "re-aggregation; reassembled text pinned by md5.",
+    tags=("dedup", "text"),
+)
+def paragraph_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.paragraph_dedup(docs, seg_tokens=20)

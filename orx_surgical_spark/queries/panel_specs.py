@@ -2,7 +2,7 @@
 
 The grading driver's correctness gate checks at most ~50 queries per
 round (round 1 recorded exactly the first 50 catalog names
-alphabetically), while the full registry declares 175 fine-grained
+alphabetically), while the full registry declares 177 fine-grained
 entries. To get EVERY SURVEY §2 operator a driver-green row, the
 driver-facing surface (``__spark_entry__.queries()``) exposes:
 
@@ -15,7 +15,7 @@ driver-facing surface (``__spark_entry__.queries()``) exposes:
   oracle applies the identical serialization to each member's oracle
   SQL.
 
-The internal registry keeps all 175 fine-grained entries: tests and
+The internal registry keeps all 177 fine-grained entries: tests and
 ``bench.py`` keep their per-operator resolution.
 
 Exception: the two quadratic exact baselines in ``REGISTRY_INTERNAL``
@@ -168,6 +168,7 @@ ORACLE_PANELS: dict[str, tuple[str, ...]] = {
         "bpe_token_stats",
         "doc_chunks",  # r5: context-window chunking, md5-pinned content
         "unigram_perplexity_scores",  # r6: perplexity quality filter
+        "pii_redaction_stats",  # r6: PII scrub, redacted text md5-pinned
     ),
     # ngram_jaccard_blocked (not the unblocked _pairs): the exposed
     # surface exercises the scale-safe shape; the all-pairs exact
@@ -184,6 +185,7 @@ ORACLE_PANELS: dict[str, tuple[str, ...]] = {
         "minhash_bands",
         "lsh_verified_pairs",
         "doc_lang_components",
+        "paragraph_dedup_docs",  # r6: sub-document dedup + reassembly
     ),
     # embedding_neardup_blocked (not _exact): no CartesianProduct in any
     # exposed plan; the quadratic exact baseline stays registry-internal.

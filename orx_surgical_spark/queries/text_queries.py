@@ -445,3 +445,100 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def unigram_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return X.unigram_perplexity(docs)
+
+
+# PII enrichment fragment shared by both engines: the synthetic corpus
+# has no digits/addresses, so the query derives deterministic PII from
+# doc_id arithmetic (same precedent as the derived-partsupp TPC-H
+# tables) — both engines build the identical enriched string, then the
+# detection/redaction regexes do the real work on it.
+_PII_ENRICHED = (
+    "text"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' reach user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail' || CAST(doc_id % 10 AS VARCHAR) || '.example.com'"
+    " ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' from host 10.'"
+    " || CAST(doc_id % 256 AS VARCHAR) || '.'"
+    " || CAST((doc_id * 7) % 256 AS VARCHAR) || '.'"
+    " || CAST((doc_id * 13) % 256 AS VARCHAR)"
+    " ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 0 THEN ' ref '"
+    " || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'"
+    " || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " ELSE '' END"
+)
+
+_PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PII_IPV4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+_PII_ID = r"\b\d{3}-\d{2}-\d{4}\b"
+
+
+@register(
+    "pii_redaction_stats",
+    oracle=(
+        "WITH t AS (SELECT doc_id, " + _PII_ENRICHED + " AS enriched"
+        " FROM documents)"
+        " SELECT doc_id,"
+        " CAST(len(regexp_extract_all(enriched, '" + _PII_EMAIL + "'))"
+        "   AS INTEGER) AS n_emails,"
+        " CAST(len(regexp_extract_all(enriched, '" + _PII_IPV4 + "'))"
+        "   AS INTEGER) AS n_ips,"
+        " CAST(len(regexp_extract_all(enriched, '" + _PII_ID + "'))"
+        "   AS INTEGER) AS n_ids,"
+        " CAST(length(regexp_replace(regexp_replace(regexp_replace(enriched,"
+        " '" + _PII_EMAIL + "', '[EMAIL]', 'g'),"
+        " '" + _PII_IPV4 + "', '[IP]', 'g'),"
+        " '" + _PII_ID + "', '[ID]', 'g')) AS INTEGER) AS redacted_len,"
+        " md5(regexp_replace(regexp_replace(regexp_replace(enriched,"
+        " '" + _PII_EMAIL + "', '[EMAIL]', 'g'),"
+        " '" + _PII_IPV4 + "', '[IP]', 'g'),"
+        " '" + _PII_ID + "', '[ID]', 'g')) AS redacted_md5"
+        " FROM t"
+    ),
+    doc="PII detection + redaction over deterministically-enriched text "
+        "(emails / IPv4 / SSN-shaped ids derived from doc_id arithmetic "
+        "— both engines build the identical enriched string): per-type "
+        "regexp_count on the original, chained regexp_replace redaction, "
+        "scrubbed text pinned by md5. Map-only, zero shuffle.",
+    tags=("text", "pii"),
+)
+def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    email = F.when(
+        did % 3 == 0,
+        F.concat(
+            F.lit(" reach user"), s(did), F.lit("@mail"), s(did % 10),
+            F.lit(".example.com"),
+        ),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        did % 5 == 0,
+        F.concat(
+            F.lit(" from host 10."), s(did % 256), F.lit("."),
+            s((did * 7) % 256), F.lit("."), s((did * 13) % 256),
+        ),
+    ).otherwise(F.lit(""))
+    idnum = F.when(
+        did % 7 == 0,
+        F.concat(
+            F.lit(" ref "), F.lpad(s(did % 1000), 3, "0"), F.lit("-"),
+            F.lpad(s(did % 100), 2, "0"), F.lit("-"),
+            F.lpad(s(did % 10000), 4, "0"),
+        ),
+    ).otherwise(F.lit(""))
+    enriched = docs.select(
+        "doc_id", F.concat(F.col("text"), email, ip, idnum).alias("enriched")
+    )
+    counts = X.pii_counts("enriched")
+    red = X.pii_redact("enriched")
+    return enriched.select(
+        "doc_id",
+        counts["email"].alias("n_emails"),
+        counts["ipv4"].alias("n_ips"),
+        counts["id_number"].alias("n_ids"),
+        F.length(red).cast("int").alias("redacted_len"),
+        F.md5(red).alias("redacted_md5"),
+    )
