@@ -258,6 +258,54 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
 
 
+def jaccard_verify(
+    cands: DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+) -> DataFrame:
+    """Exact shingle-Jaccard scores for LSH candidate pairs — shingling
+    ONLY the docs that appear in some pair.
+
+    The naive verify joins a full-corpus shingle table onto the pairs,
+    which (a) shingles every document a second time and (b) pushes the
+    corpus's entire shingle payload through the join shuffle. Since
+    candidates are a small fraction of the corpus at scale, this
+    semi-joins docs to the pair endpoints FIRST (shuffling only ids +
+    raw text) and shingles the survivors — the verify stage is priced
+    by |candidate docs|, not |corpus|. Inner-join semantics are
+    unchanged: non-candidate docs never reached the output anyway.
+
+    Returns ``cands`` + a ``jaccard`` double column (unrounded,
+    unfiltered — callers round/threshold).
+
+    ``cands`` is referenced twice (endpoint ids + the pair probe), so it
+    is eagerly ``localCheckpoint``-ed first: candidate pairs are tiny
+    post-LSH, and materializing them once beats re-running the whole
+    band pipeline per reference (measured 2x at sf0.1). The eager job
+    runs at call time, not first action.
+    """
+    cands = cands.localCheckpoint(eager=True)
+    ids = (
+        cands.select(F.col("id_a").alias(id_col))
+        .union(cands.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = (
+        docs.join(ids, id_col, "leftsemi")
+        .select(F.col(id_col), shingles(tokens(text_col), ngram).alias("__sh"))
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"))
+    return (
+        cands.join(a, on="id_a")
+        .join(b, on="id_b")
+        .withColumn("jaccard", jaccard(F.col("__sh_a"), F.col("__sh_b")))
+        .drop("__sh_a", "__sh_b")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     n: int = 3, threshold: float = 0.5, block_col: str | None = None,

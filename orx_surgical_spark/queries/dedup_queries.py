@@ -255,24 +255,16 @@ def mllib_minhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "minhash", "jaccard"),
 )
 def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from orx_surgical_spark.operators.text import shingles, tokens
-
     docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     cands = D.lsh_candidate_pairs(docs)
-    sh = docs.select(
-        F.col("doc_id"), shingles(tokens("text"), 3).alias("sh")
-    )
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
-    verified = (
-        cands.join(a, on="id_a").join(b, on="id_b")
-        .select(
-            "id_a", "id_b",
-            F.round(D.jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
-        )
+    # jaccard_verify shingles only the candidate-pair endpoints (a
+    # semi-join first), so the verify stage is priced by |candidates|,
+    # not |corpus| — the oracle's inner joins have the same semantics.
+    return (
+        D.jaccard_verify(cands, docs)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
         .filter(F.col("jaccard") >= 0.5)
     )
-    return verified
 
 
 # ---------------------------------------------------------------------------
@@ -354,17 +346,17 @@ _ELIGIBLE_BANDS_CTE = f"""
 )
 def corpus_curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from orx_surgical_spark.operators.graph import connected_components
-    from orx_surgical_spark.operators.text import shingles, tokens
+    from orx_surgical_spark.operators.text import tokens
 
     docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     eligible = docs.where(F.size(tokens("text")) >= 10)
     cands = D.lsh_candidate_pairs(eligible)
-    sh = eligible.select(F.col("doc_id"), shingles(tokens("text"), 3).alias("sh"))
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    # Verify shingles only candidate-pair endpoints (semi-join inside
+    # jaccard_verify): the corpus is shingled once (in the LSH stage),
+    # not twice, and only candidate shingle payloads hit the shuffle.
     verified = (
-        cands.join(a, on="id_a").join(b, on="id_b")
-        .filter(D.jaccard(F.col("sh_a"), F.col("sh_b")) >= 0.5)
+        D.jaccard_verify(cands, eligible)
+        .filter(F.col("jaccard") >= 0.5)
         .select("id_a", "id_b")
     )
     comp = connected_components(
