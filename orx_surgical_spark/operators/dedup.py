@@ -588,3 +588,56 @@ def paragraph_dedup(
             F.md5("_cleaned").alias("cleaned_md5"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup against a historical index
+# ---------------------------------------------------------------------------
+
+
+def incremental_dedup(
+    incoming: DataFrame,
+    index_hashes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Ingest-time dedup of a NEW shard against a frozen corpus index —
+    the operational mode of a continuously-fed training pipeline, where
+    the already-ingested corpus exists only as a compact hash index
+    (one md5 per document ever accepted), not as rescannable text.
+
+    Three-way decision per incoming doc:
+
+    - ``dup_index``  — content hash already in the historical index;
+    - ``dup_batch``  — first seen inside THIS shard, but a same-shard
+      doc with a smaller id has the same content (self-dedup);
+    - ``new``        — accept and append its hash to the index.
+
+    Shape at scale: one map-side hash projection of the shard, a LEFT
+    join against the index on the hash (index side is just
+    (hash) — co-shuffled equi-join, broadcastable while small), and a
+    min-id window inside the shard. The full corpus is never re-read.
+
+    Returns (id, content_hash, decision).
+    """
+    from pyspark.sql.window import Window
+
+    h = incoming.select(
+        F.col(id_col), F.md5(normalized_text(text_col)).alias("content_hash")
+    )
+    idx = index_hashes.select(
+        F.col("content_hash"), F.lit(True).alias("__in_index")
+    ).distinct()
+    w = Window.partitionBy("content_hash").orderBy(F.col(id_col))
+    return (
+        h.join(idx, "content_hash", "left")
+        .withColumn("__rank", F.row_number().over(w))
+        .select(
+            id_col,
+            "content_hash",
+            F.when(F.col("__in_index"), F.lit("dup_index"))
+            .when(F.col("__rank") > 1, F.lit("dup_batch"))
+            .otherwise(F.lit("new"))
+            .alias("decision"),
+        )
+    )

@@ -424,3 +424,47 @@ def corpus_curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def paragraph_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return D.paragraph_dedup(docs, seg_tokens=20)
+
+
+_NORM_HASH = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+
+
+@register(
+    "incremental_dedup_decisions",
+    oracle=f"""
+    WITH idx AS (
+      SELECT DISTINCT {_NORM_HASH} AS content_hash
+      FROM documents WHERE doc_id % 2 = 0
+    ), inc AS (
+      SELECT doc_id, {_NORM_HASH} AS content_hash
+      FROM documents WHERE doc_id % 2 = 1
+    ), r AS (
+      SELECT i.doc_id, i.content_hash,
+             (x.content_hash IS NOT NULL) AS in_idx,
+             row_number() OVER (
+               PARTITION BY i.content_hash ORDER BY i.doc_id) AS rn
+      FROM inc i LEFT JOIN idx x USING (content_hash)
+    )
+    SELECT doc_id, content_hash,
+           CASE WHEN in_idx THEN 'dup_index'
+                WHEN rn > 1 THEN 'dup_batch'
+                ELSE 'new' END AS decision
+    FROM r
+    """,
+    doc="Ingest-time dedup of a new shard against a frozen corpus "
+        "index (even doc_ids play the historical index, odd ones the "
+        "incoming shard): per-doc dup_index / dup_batch / new decision "
+        "via one LEFT join on the content hash + a min-id window — the "
+        "continuously-fed pipeline mode where the accepted corpus "
+        "exists only as a compact hash index, never re-read.",
+    tags=("dedup", "incremental"),
+)
+def incremental_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orx_surgical_spark.operators.text import normalized_text
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    index = docs.where(F.col("doc_id") % 2 == 0).select(
+        F.md5(normalized_text("text")).alias("content_hash")
+    )
+    incoming = docs.where(F.col("doc_id") % 2 == 1)
+    return D.incremental_dedup(incoming, index)

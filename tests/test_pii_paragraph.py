@@ -95,3 +95,28 @@ def test_paragraph_dedup_preserves_segment_order(spark):
         F.md5("t")
     ).first()[0]
     assert out[20]["cleaned_md5"] == expected
+
+
+def test_incremental_dedup_decisions(spark):
+    # index holds hashes of "alpha" and "beta"; incoming shard has an
+    # index dup, an in-shard dup pair, and a genuinely new doc
+    index_docs = spark.createDataFrame(
+        [(0, "alpha"), (2, "beta")], ["doc_id", "text"]
+    )
+    index = index_docs.select(
+        F.md5(X.normalized_text("text")).alias("content_hash")
+    )
+    incoming = spark.createDataFrame(
+        [(1, "alpha"), (3, "gamma"), (5, "gamma"), (7, "delta")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["decision"]
+        for r in D.incremental_dedup(incoming, index).collect()
+    }
+    assert out == {
+        1: "dup_index",   # already in the corpus index
+        3: "new",         # first in-shard occurrence wins
+        5: "dup_batch",   # same-shard duplicate of 3
+        7: "new",
+    }
