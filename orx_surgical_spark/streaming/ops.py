@@ -293,3 +293,117 @@ def chained_window_rollup(
         .agg(F.sum("n").alias("n_events"))
         .select(F.col("h.start").alias("window_start"), "event_type", "n_events")
     )
+
+
+def typed_state_user_stats(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``transformWithStateInPandas`` —
+    Spark 4's arbitrary-stateful-processing API (the successor to
+    ``applyInPandasWithState``): explicit *typed state variables* on a
+    ``StatefulProcessorHandle`` instead of one opaque tuple, plus
+    timers and per-state TTL (neither needed here).
+
+    Per-user running stats kept in two typed states:
+
+    - a ``ValueState`` (n, total) — the running count / value sum;
+    - a ``MapState`` event_type -> count — per-type tallies whose key
+      cardinality the state store (RocksDB — required by this API and
+      set by the catalog wrapper) handles natively, no packed blobs.
+
+    Emits ``(user_id, n_events, total_value, n_types, top_type)`` per
+    key per micro-batch; after an availableNow backlog the final rows
+    equal the batch aggregate (the catalog oracle). ``top_type`` has a
+    deterministic tie rule: max count, then lexicographically smallest
+    type.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", "n BIGINT, total DOUBLE")
+            self._types = handle.getMapState(
+                "types", "event_type STRING", "c BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (
+                self._agg.get() if self._agg.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                for t, c in pdf["event_type"].value_counts().items():
+                    prev = self._types.getValue((t,))
+                    self._types.updateValue(
+                        (t,), ((prev[0] if prev else 0) + int(c),)
+                    )
+            self._agg.update((n, total))
+            counts = {k[0]: self._types.getValue(k)[0] for k in self._types.keys()}
+            top = min(counts, key=lambda t: (-counts[t], t))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 4)],
+                    "n_types": [len(counts)],
+                    "top_type": [top],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.select("user_id", "event_type", "value").groupBy(
+        "user_id"
+    ).transformWithStateInPandas(
+        statefulProcessor=UserStats(),
+        outputStructType=(
+            "user_id bigint, n_events bigint, total_value double, "
+            "n_types int, top_type string"
+        ),
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def with_rocksdb_state_store(spark: SparkSession):
+    """Context manager: run a streaming query under the RocksDB state
+    store provider (required by ``transformWithStateInPandas``),
+    restoring the previous provider after. The conf is read at query
+    START, so wrapping the ``start()`` call suffices."""
+    import contextlib
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+
+    @contextlib.contextmanager
+    def cm():
+        prev = spark.conf.get(key, None)
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        try:
+            yield
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+
+    return cm()
+
+
+def typed_state_available() -> bool:
+    """True iff this environment can run ``transformWithStateInPandas``:
+    the API's dedicated state-server worker imports ``google.protobuf``
+    at startup (state (de)serialization), which not every deployment
+    ships. Gate callers on this instead of crashing mid-query."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False

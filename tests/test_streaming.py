@@ -3,6 +3,7 @@ must produce exactly the batch semantics on the same data (the
 catalog's DuckDB oracles cover tumbling/session/stateful; here the
 sliding-window variant and source plumbing)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from orx_surgical_spark import streaming as S
@@ -92,3 +93,42 @@ def test_upsert_sink_merges_batches_into_parquet(spark, tmp_path):
 
     got = {r["key"]: r["val"] for r in spark.read.parquet(target).collect()}
     assert got == {1: "a", 2: "b-new", 3: "c", 4: "d"}
+
+
+@pytest.mark.skipif(
+    not __import__(
+        "orx_surgical_spark.streaming.ops", fromlist=["ops"]
+    ).typed_state_available(),
+    reason="transformWithStateInPandas needs google.protobuf (its "
+    "state-server worker); not shipped in this container",
+)
+def test_typed_state_user_stats_matches_batch(spark, sf_dir):
+    """Spark 4 transformWithStateInPandas (typed ValueState + MapState):
+    after the availableNow backlog, per-user rows equal the batch
+    aggregate with the declared top_type tie rule."""
+    from pyspark.sql import functions as F
+
+    from orx_surgical_spark.streaming import ops as S
+
+    stream = S.read_events_stream(spark, sf_dir)
+    with S.with_rocksdb_state_store(spark):
+        out = S.run_available_now(
+            S.typed_state_user_stats(stream), output_mode="update"
+        )
+    got = {r["user_id"]: r for r in out.collect()}
+    batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+        .collect()
+    )
+    assert len(got) == len(batch)
+    for r in batch:
+        g = got[r["user_id"]]
+        assert g["n_events"] == r["n_events"]
+        assert g["total_value"] == pytest.approx(r["total_value"])
+        assert g["n_types"] == r["n_types"]
