@@ -1,0 +1,70 @@
+"""Data-layout sinks: prove the zone-map property and the compaction
+contract by reading the parquet footers back (metadata, not rows)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from orx_surgical_spark.sources import layout as L
+
+
+def test_write_sorted_produces_disjoint_key_ranges(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "orders_sorted")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    L.write_sorted(orders, out, ["o_custkey"], n_files=4)
+
+    ranges = L.parquet_file_ranges(out, "o_custkey")
+    assert len(ranges) >= 2  # range partitioner actually split
+    # files ordered by min must not overlap: zone-map pruning can skip
+    # every file whose [min, max] misses the predicate value
+    ranges.sort(key=lambda r: r[1])
+    for (_, _, hi), (_, lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo
+    # a point lookup hits exactly one file's range
+    probe = orders.select(F.min("o_custkey")).first()[0]
+    hits = [r for r in ranges if r[1] <= probe <= r[2]]
+    assert len(hits) == 1
+
+    # and the sorted layout returns identical data
+    assert spark.read.parquet(out).count() == orders.count()
+
+
+def test_write_sorted_rowgroups_sorted_within_file(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "li_sorted")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    L.write_sorted(li, out, ["l_orderkey"], n_files=2)
+    import pyarrow.parquet as pq
+
+    for name in os.listdir(out):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.read_metadata(os.path.join(out, name))
+        idx = md.schema.names.index("l_orderkey")
+        prev_max = None
+        for rg in range(md.num_row_groups):
+            stats = md.row_group(rg).column(idx).statistics
+            if prev_max is not None:
+                assert stats.min >= prev_max  # row groups in key order
+            prev_max = stats.max
+
+
+def test_compact_parquet_hits_target_count(spark, sf_dir, tmp_path):
+    frag = str(tmp_path / "frag")
+    compacted = str(tmp_path / "compacted")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # simulate small-file fragmentation: 16 files for a tiny table
+    docs.repartition(16).write.parquet(frag)
+    n_frag = sum(1 for f in os.listdir(frag) if f.endswith(".parquet"))
+    assert n_frag == 16
+
+    size = sum(
+        os.path.getsize(os.path.join(frag, f))
+        for f in os.listdir(frag)
+        if f.endswith(".parquet")
+    )
+    n = L.compact_parquet(spark, frag, compacted, target_bytes=size)
+    assert n == 1
+    n_out = sum(1 for f in os.listdir(compacted) if f.endswith(".parquet"))
+    assert n_out == 1
+    # content preserved
+    assert spark.read.parquet(compacted).count() == docs.count()
