@@ -120,3 +120,45 @@ def test_incremental_dedup_decisions(spark):
         5: "dup_batch",   # same-shard duplicate of 3
         7: "new",
     }
+
+
+def test_pii_spans_udtf_lateral(spark):
+    """Spark 4 Python UDTF: span-level PII extraction composed through
+    SQL LATERAL — offsets agree with Python re over the same shared
+    patterns, and redacting exactly the reported spans equals
+    pii_redact (span report and scrub can never disagree)."""
+    from orx_surgical_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    df = spark.createDataFrame(
+        [(1, "a@b.co then 10.1.2.3 end"), (2, "clean text"), (3, None)],
+        ["doc_id", "text"],
+    )
+    df.createOrReplaceTempView("pii_docs")
+    rows = spark.sql(
+        """
+        SELECT d.doc_id, s.pii_type, s.start, s.end, s.matched
+        FROM pii_docs d, LATERAL pii_spans(d.text) s
+        ORDER BY d.doc_id, s.start
+        """
+    ).collect()
+    assert [(r.doc_id, r.pii_type, r.start, r.end, r.matched) for r in rows] == [
+        (1, "email", 0, 6, "a@b.co"),
+        (1, "ipv4", 12, 20, "10.1.2.3"),
+    ]
+    # span-driven redaction reproduces pii_redact exactly
+    text = "a@b.co then 10.1.2.3 end"
+    spans = sorted(
+        [(r.start, r.end, r.pii_type) for r in rows], reverse=True
+    )
+    from orx_surgical_spark.operators.text import PII_PATTERNS
+
+    red = text
+    for start, end, t in spans:
+        red = red[:start] + PII_PATTERNS[t][1] + red[end:]
+    expected = (
+        spark.createDataFrame([(text,)], ["t"])
+        .select(X.pii_redact("t").alias("r"))
+        .first()["r"]
+    )
+    assert red == expected
