@@ -165,6 +165,71 @@ def merge_upsert(
                      on).unionByName(source)
 
 
+def scd2_upsert(
+    history: DataFrame,
+    updates: DataFrame,
+    key: str,
+    value_cols: Sequence[str],
+    eff_date,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+) -> DataFrame:
+    """SCD-2 MERGE: apply an update snapshot to a slowly-changing-
+    dimension HISTORY table (validity intervals; ``valid_to`` NULL =
+    current row), the versioned complement of :func:`merge_upsert`.
+
+    Per key:
+
+    - update differs from the current open row -> close it
+      (``valid_to = eff_date``) and open a new version;
+    - update equals the current row -> unchanged (no spurious version);
+    - key absent from updates -> history passes through;
+    - brand-new key -> new open row.
+
+    Shape at scale: closed history passes through UNTOUCHED (no join —
+    at lake scale closed rows dominate and never need rewriting; with a
+    partition-on-``valid_to`` layout the pass-through is pure file
+    reuse); one full-outer join of the open slice with the update
+    snapshot on the key + a union. ``eff_date`` is a literal Column /
+    python value, the batch's effective date.
+    """
+    eff = F.lit(eff_date)
+    is_open = F.col(to_col).isNull()
+    open_rows = history.where(is_open)
+    closed_rows = history.where(~is_open)
+
+    u = updates.select(
+        F.col(key).alias("__k"),
+        *[F.col(c).alias(f"__u_{c}") for c in value_cols],
+    )
+    j = open_rows.join(u, open_rows[key] == u["__k"], "full_outer")
+    changed = F.col("__k").isNotNull() & F.col(key).isNotNull() & (
+        ~F.struct(*[F.col(c) for c in value_cols]).eqNullSafe(
+            F.struct(*[F.col(f"__u_{c}") for c in value_cols])
+        )
+    )
+    # surviving prior versions: untouched keys + now-closed old rows
+    kept_open = j.where(F.col(key).isNotNull()).select(
+        key,
+        *value_cols,
+        F.col(from_col),
+        F.when(changed, eff.cast("date")).otherwise(F.col(to_col)).alias(to_col),
+    )
+    # new versions: changed keys + brand-new keys
+    new_rows = j.where(
+        changed | (F.col(key).isNull() & F.col("__k").isNotNull())
+    ).select(
+        F.col("__k").alias(key),
+        *[F.col(f"__u_{c}").alias(c) for c in value_cols],
+        eff.cast("date").alias(from_col),
+        F.lit(None).cast("date").alias(to_col),
+    )
+    return closed_rows.select(
+        key, *value_cols, from_col, to_col
+    ).unionByName(kept_open).unionByName(new_rows)
+
+
+
 # ---------------------------------------------------------------------------
 # D. Aggregations / grouping
 # ---------------------------------------------------------------------------

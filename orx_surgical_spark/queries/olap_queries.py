@@ -471,3 +471,87 @@ def full_outer_daily_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("both")
         .alias("presence"),
     )
+
+
+@register(
+    "scd2_customer_history",
+    oracle="""
+    WITH hist AS (
+      SELECT c_custkey, c_acctbal AS balance,
+             DATE '2020-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+      FROM customer
+    ), upd AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 100.0
+                  ELSE c_acctbal END AS balance
+      FROM customer WHERE c_custkey % 7 <> 0
+      UNION ALL
+      SELECT c_custkey + 1000000, 0.0 FROM customer WHERE c_custkey % 50 = 0
+    ), j AS (
+      SELECT h.c_custkey AS hk, h.balance AS hb, h.valid_from, h.valid_to,
+             u.c_custkey AS uk, u.balance AS ub
+      FROM hist h FULL OUTER JOIN upd u ON h.c_custkey = u.c_custkey
+    ), f AS (
+      SELECT *,
+             (hk IS NOT NULL AND uk IS NOT NULL AND hb IS DISTINCT FROM ub)
+               AS chg
+      FROM j
+    )
+    SELECT hk AS c_custkey, hb AS balance,
+           CAST(valid_from AS VARCHAR) AS valid_from,
+           coalesce(CAST(CASE WHEN chg THEN DATE '2021-06-15'
+                              ELSE valid_to END AS VARCHAR),
+                    '9999-12-31') AS valid_to
+    FROM f WHERE hk IS NOT NULL
+    UNION ALL
+    SELECT uk, ub, '2021-06-15', '9999-12-31'
+    FROM f WHERE chg OR (hk IS NULL AND uk IS NOT NULL)
+    """,
+    doc="SCD-2 MERGE (operators.relational.scd2_upsert): apply an "
+        "update snapshot to a validity-interval history table — "
+        "changed keys close their open row and version, identical "
+        "updates are no-ops (no spurious versions), absent keys pass "
+        "through, new keys open. Closed history never joins (pure "
+        "pass-through — at lake scale closed rows dominate and are "
+        "file-reuse). Deterministic updates derived from the same "
+        "snapshot (+100.0 balance bump for custkey%3=0, keys%7=0 "
+        "absent, 2%% brand-new keys) so DuckDB replays the merge "
+        "row-for-row; raw IEEE doubles, no rounding anywhere. The "
+        "catalog projection serializes validity dates as ISO strings "
+        "with the classic 9999-12-31 open-row sentinel (nullable DATE "
+        "round-trips engine-dependently through pandas; the operator "
+        "itself keeps NULL-means-open semantics).",
+    tags=("C", "merge", "scd2"),
+)
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    hist = cust.select(
+        "c_custkey",
+        F.col("c_acctbal").alias("balance"),
+        F.lit("2020-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    upd = (
+        cust.where(k % 7 != 0)
+        .select(
+            "c_custkey",
+            F.when(k % 3 == 0, F.col("c_acctbal") + 100.0)
+            .otherwise(F.col("c_acctbal"))
+            .alias("balance"),
+        )
+        .unionByName(
+            cust.where(k % 50 == 0).select(
+                (k + 1000000).alias("c_custkey"),
+                F.lit(0.0).alias("balance"),
+            )
+        )
+    )
+    out = R.scd2_upsert(hist, upd, "c_custkey", ["balance"], "2021-06-15")
+    return out.select(
+        "c_custkey",
+        "balance",
+        F.col("valid_from").cast("string").alias("valid_from"),
+        F.coalesce(F.col("valid_to").cast("string"), F.lit("9999-12-31"))
+        .alias("valid_to"),
+    )

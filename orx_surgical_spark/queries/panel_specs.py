@@ -2,7 +2,7 @@
 
 The grading driver's correctness gate checks at most ~50 queries per
 round (round 1 recorded exactly the first 50 catalog names
-alphabetically), while the full registry declares 178 fine-grained
+alphabetically), while the full registry declares 179 fine-grained
 entries. To get EVERY SURVEY §2 operator a driver-green row, the
 driver-facing surface (``__spark_entry__.queries()``) exposes:
 
@@ -15,7 +15,7 @@ driver-facing surface (``__spark_entry__.queries()``) exposes:
   oracle applies the identical serialization to each member's oracle
   SQL.
 
-The internal registry keeps all 178 fine-grained entries: tests and
+The internal registry keeps all 179 fine-grained entries: tests and
 ``bench.py`` keep their per-operator resolution.
 
 Exception: the two quadratic exact baselines in ``REGISTRY_INTERNAL``
@@ -155,6 +155,7 @@ ORACLE_PANELS: dict[str, tuple[str, ...]] = {
         "variant_props_stats",  # r5: Spark 4 VARIANT schema-on-read
         "full_outer_daily_recon",
         "merge_upsert_orders",
+        "scd2_customer_history",  # r6: versioned (SCD-2) complement
     ),
     "panel_metrics": (
         "confusion_matrix",

@@ -162,3 +162,39 @@ def test_pii_spans_udtf_lateral(spark):
         .first()["r"]
     )
     assert red == expected
+
+
+def test_scd2_upsert_four_branches(spark):
+    """All four SCD-2 decision branches on a hand-checkable fixture."""
+    from orx_surgical_spark.operators.relational import scd2_upsert
+
+    hist = spark.createDataFrame(
+        [
+            # k=1: already-closed version + current open row
+            (1, 10.0, "2019-01-01", "2020-01-01"),
+            (1, 11.0, "2020-01-01", None),
+            (2, 20.0, "2020-01-01", None),   # unchanged by update
+            (3, 30.0, "2020-01-01", None),   # absent from updates
+        ],
+        ["k", "v", "valid_from", "valid_to"],
+    ).select(
+        "k", "v",
+        F.col("valid_from").cast("date").alias("valid_from"),
+        F.col("valid_to").cast("date").alias("valid_to"),
+    )
+    upd = spark.createDataFrame(
+        [(1, 12.0), (2, 20.0), (4, 40.0)], ["k", "v"]
+    )
+    out = scd2_upsert(hist, upd, "k", ["v"], "2021-06-15")
+    rows = sorted(
+        (r["k"], r["v"], str(r["valid_from"]), str(r["valid_to"]))
+        for r in out.collect()
+    )
+    assert rows == [
+        (1, 10.0, "2019-01-01", "2020-01-01"),  # closed history untouched
+        (1, 11.0, "2020-01-01", "2021-06-15"),  # changed -> closed
+        (1, 12.0, "2021-06-15", "None"),        # changed -> new version
+        (2, 20.0, "2020-01-01", "None"),        # identical -> no-op
+        (3, 30.0, "2020-01-01", "None"),        # absent -> pass-through
+        (4, 40.0, "2021-06-15", "None"),        # brand-new key
+    ]
