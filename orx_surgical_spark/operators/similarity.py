@@ -207,23 +207,23 @@ def embedding_neardup_pairs(
     )
 
 
-def ann_ivf_topk(
-    corpus: DataFrame, queries: DataFrame, k: int = 5, n_centroids: int = 8,
-    n_probe: int = 2, id_col: str = "vec_id", vec_col: str = "embedding",
-    seed: int = 42,
-) -> DataFrame:
-    """IVF-style ANN: coarse KMeans centroids partition the corpus into
-    inverted lists; each query probes its ``n_probe`` nearest centroids
-    and brute-forces only those lists.
+def build_ivf_index(
+    corpus: DataFrame, n_centroids: int = 8, id_col: str = "vec_id",
+    vec_col: str = "embedding", seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """Build the IVF index: coarse KMeans centroids + the corpus
+    partitioned into inverted lists (one ``centroid_id`` per vector).
 
-    The scale shape: corpus assignment is one model.transform (map-side),
-    the probe join hits ``n_probe / n_centroids`` of the corpus, and the
-    only shuffle is the top-k window on (query, candidate) pairs.
-    Centroids are MLlib-seeded (rows-only checkable).
-    Output: (query_id, neighbor_id, sim, rn).
+    This is the EXPENSIVE half of IVF search (a KMeans fit over the
+    corpus + one map-side assignment pass), split out so it can run
+    once and be persisted (:func:`save_ivf_index`) while serving runs
+    only the cheap probe (:func:`search_ivf_index`) — the vector-
+    database build/serve split. Returns ``(centroids, lists)``:
+    ``centroids`` is a tiny (n_centroids x dim) broadcastable table,
+    ``lists`` carries (neighbor_id, __cv, centroid_id).
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -232,19 +232,47 @@ def ann_ivf_topk(
     km = KMeans(k=n_centroids, seed=seed, featuresCol="features",
                 predictionCol="centroid_id")
     model = km.fit(c)
-    assigned = model.transform(c).select("neighbor_id", "__cv", "centroid_id")
-
-    # Tiny (n_centroids x dim) table; broadcast to score query->centroid.
+    lists = model.transform(c).select("neighbor_id", "__cv", "centroid_id")
     centroids = c.sparkSession.createDataFrame(
         [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
         "centroid_id int, __ctr array<double>",
     )
+    return centroids, lists
+
+
+def save_ivf_index(centroids: DataFrame, lists: DataFrame, path: str) -> None:
+    """Persist an IVF index as two parquet tables. The inverted lists
+    are written partitioned by ``centroid_id``, so a loaded search's
+    probe join can partition-prune straight to the probed lists."""
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    lists.write.mode("overwrite").partitionBy("centroid_id").parquet(
+        f"{path}/lists"
+    )
+
+
+def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """Load a persisted IVF index (see :func:`save_ivf_index`)."""
+    return (
+        spark.read.parquet(f"{path}/centroids"),
+        spark.read.parquet(f"{path}/lists"),
+    )
+
+
+def search_ivf_index(
+    centroids: DataFrame, lists: DataFrame, queries: DataFrame, k: int = 5,
+    n_probe: int = 2, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve-side IVF probe against a (built or loaded) index: each
+    query scores the broadcast centroid table, keeps its ``n_probe``
+    nearest lists, and brute-forces only those — ``n_probe /
+    n_centroids`` of the corpus per query, with the top-k window the
+    only shuffle. Output: (query_id, neighbor_id, sim, rn)."""
+    from pyspark.sql import Window
+
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("__qv"),
     )
-    from pyspark.sql import Window
-
     qc = q.crossJoin(F.broadcast(centroids)).select(
         "query_id", "__qv", "centroid_id",
         cosine(F.col("__qv"), F.col("__ctr")).alias("__csim"),
@@ -256,7 +284,7 @@ def ann_ivf_topk(
         F.col("__pr") <= n_probe
     ).select("query_id", "__qv", "centroid_id")
 
-    cands = probes.join(assigned, on="centroid_id").filter(
+    cands = probes.join(lists, on="centroid_id").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
     scored = cands.select(
@@ -267,6 +295,27 @@ def ann_ivf_topk(
         F.col("sim").desc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+def ann_ivf_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 5, n_centroids: int = 8,
+    n_probe: int = 2, id_col: str = "vec_id", vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style ANN in one shot: :func:`build_ivf_index` +
+    :func:`search_ivf_index` (see those for the scale shapes and the
+    persistable build/serve split). Centroids are MLlib-seeded, so the
+    catalog checks this through deterministic recall gates.
+    Output: (query_id, neighbor_id, sim, rn).
+    """
+    centroids, lists = build_ivf_index(
+        corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col,
+        seed=seed,
+    )
+    return search_ivf_index(
+        centroids, lists, queries, k=k, n_probe=n_probe, id_col=id_col,
+        vec_col=vec_col,
+    )
 
 
 def ann_lsh_topk(

@@ -65,3 +65,30 @@ def test_ann_results_are_top_k_per_query(frames):
         assert (g <= 5).all(), f"{name}: more than k rows for a query"
         rn = frames[name].groupby("query_id").rn.max()
         assert (rn <= 5).all()
+
+
+def test_ivf_index_save_load_same_results(spark, sf_dir, tmp_path):
+    """Persisted IVF index: searching the loaded index returns exactly
+    the in-memory build's results (same seed -> same centroids; arrays
+    round-trip parquet exactly), and the on-disk lists are partitioned
+    by centroid_id so the probe join partition-prunes."""
+    import os
+
+    from orx_surgical_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.limit(10)
+    centroids, lists = S.build_ivf_index(emb, n_centroids=4)
+    in_mem = S.search_ivf_index(centroids, lists, queries, k=5, n_probe=2)
+
+    path = str(tmp_path / "ivf")
+    S.save_ivf_index(centroids, lists, path)
+    c2, l2 = S.load_ivf_index(spark, path)
+    loaded = S.search_ivf_index(c2, l2, queries, k=5, n_probe=2)
+
+    a = sorted(map(tuple, in_mem.collect()))
+    b = sorted(map(tuple, loaded.collect()))
+    assert a == b and len(a) > 0
+    # layout: one directory per inverted list
+    parts = [d for d in os.listdir(f"{path}/lists") if d.startswith("centroid_id=")]
+    assert len(parts) == 4
