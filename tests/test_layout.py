@@ -68,3 +68,28 @@ def test_compact_parquet_hits_target_count(spark, sf_dir, tmp_path):
     assert n_out == 1
     # content preserved
     assert spark.read.parquet(compacted).count() == docs.count()
+
+
+def test_write_zordered_prunes_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-order layout: per-file bounding boxes must be selective in
+    BOTH columns — for each column, a point predicate's candidate file
+    set (files whose [min, max] contains the value) is a strict subset
+    of all files, which single-column sorting cannot give for the
+    non-leading column."""
+    out = str(tmp_path / "orders_z")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n_files = 8
+    L.write_zordered(orders, out, "o_custkey", "o_totalprice", n_files=n_files)
+
+    n_out = sum(1 for f in os.listdir(out) if f.endswith(".parquet"))
+    assert n_out == n_files
+    # content preserved
+    assert spark.read.parquet(out).count() == orders.count()
+
+    med = orders.approxQuantile(["o_custkey", "o_totalprice"], [0.5], 0.0)
+    for col, probe in zip(["o_custkey", "o_totalprice"], (med[0][0], med[1][0])):
+        ranges = L.parquet_file_ranges(out, col)
+        assert len(ranges) == n_files
+        hits = [r for r in ranges if r[1] <= probe <= r[2]]
+        # both dimensions prune: strictly fewer than all files match
+        assert 0 < len(hits) < n_files, (col, len(hits), n_files)

@@ -119,3 +119,46 @@ def test_stratified_split_exact_not_label_partitioned(spark):
     for label in (0, 1):
         n = counts.get((label, "train"), 0) + counts.get((label, "test"), 0)
         assert counts[(label, "train")] == math.ceil(n * 0.8)
+
+
+def test_runtime_bloom_filter_injection(spark, sf_dir):
+    """Runtime row-level filtering: with a selective filter on the
+    orders side of a shuffle join, Catalyst injects a bloom filter
+    built from the filtered keys into the lineitem scan — fact rows
+    that cannot join are dropped BEFORE the shuffle. At 100 TB this is
+    the difference between shuffling the whole fact table and shuffling
+    the joinable slice; here we pin that the injection actually fires
+    under the documented confs."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # toy-scale thresholds so the tiny test tables qualify
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        # force a shuffle join: a broadcast join already prunes at the
+        # hash table and gets no bloom filter
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+            F.col("o_totalprice") > 100000
+        )
+        j = (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in plan.lower(), "runtime bloom filter not injected"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
