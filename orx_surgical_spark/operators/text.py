@@ -491,3 +491,76 @@ def pii_redact(col: str | Column) -> Column:
     for pat, token in PII_PATTERNS.values():
         c = F.regexp_replace(c, pat, token)
     return c
+
+
+# ---------------------------------------------------------------------------
+# Per-source boilerplate removal
+# ---------------------------------------------------------------------------
+
+
+def strip_source_boilerplate(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    prefix_tokens: int = 7,
+    min_frac: float = 0.3,
+) -> DataFrame:
+    """Remove per-source boilerplate prefixes — the web-pipeline pass
+    that strips a crawl source's repeated header/nav text before
+    training (per-SOURCE, because boilerplate is a property of where a
+    page came from, not of the page).
+
+    Detection: a prefix (first ``prefix_tokens`` tokens) is boilerplate
+    for a source iff >= ``min_frac`` of that source's docs start with
+    it. Shape at scale: the detection side is two tiny aggregates on
+    (source, prefix) — boilerplate by definition repeats, so the
+    candidate table collapses to ~|sources| rows and BROADCASTS back;
+    the strip itself is then a map-only projection of the corpus. The
+    corpus is never shuffled.
+
+    Returns (id, source, was_stripped, n_tokens_out, cleaned_md5) —
+    cleaned text = remaining tokens space-joined, pinned by md5.
+    """
+    toks = tokens(text_col)
+    base = df.select(
+        F.col(id_col), F.col(source_col), toks.alias("__toks")
+    ).withColumn(
+        "__prefix", F.array_join(F.slice("__toks", 1, prefix_tokens), " ")
+    )
+    per_prefix = base.groupBy(source_col, "__prefix").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    per_source = base.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    boiler = (
+        per_prefix.join(per_source, source_col)
+        .where(F.col("__c") / F.col("__n") >= min_frac)
+        .select(source_col, "__prefix", F.lit(True).alias("__boiler"))
+    )
+    out = base.join(
+        F.broadcast(boiler), on=[source_col, "__prefix"], how="left"
+    ).select(
+        id_col,
+        source_col,
+        F.coalesce(F.col("__boiler"), F.lit(False)).alias("was_stripped"),
+        F.when(
+            F.col("__boiler"),
+            # greatest(..., 0): a doc fully consumed by its boilerplate
+            # prefix strips to empty instead of erroring on a negative
+            # slice length
+            F.slice(
+                "__toks",
+                prefix_tokens + 1,
+                F.greatest(F.size("__toks") - prefix_tokens, F.lit(0)),
+            ),
+        )
+        .otherwise(F.col("__toks"))
+        .alias("__out"),
+    )
+    return out.select(
+        id_col,
+        source_col,
+        "was_stripped",
+        F.size("__out").cast("int").alias("n_tokens_out"),
+        F.md5(F.array_join("__out", " ")).alias("cleaned_md5"),
+    )

@@ -2,7 +2,7 @@
 
 The grading driver's correctness gate checks at most ~50 queries per
 round (round 1 recorded exactly the first 50 catalog names
-alphabetically), while the full registry declares 179 fine-grained
+alphabetically), while the full registry declares 180 fine-grained
 entries. To get EVERY SURVEY §2 operator a driver-green row, the
 driver-facing surface (``__spark_entry__.queries()``) exposes:
 
@@ -15,7 +15,7 @@ driver-facing surface (``__spark_entry__.queries()``) exposes:
   oracle applies the identical serialization to each member's oracle
   SQL.
 
-The internal registry keeps all 179 fine-grained entries: tests and
+The internal registry keeps all 180 fine-grained entries: tests and
 ``bench.py`` keep their per-operator resolution.
 
 Exception: the two quadratic exact baselines in ``REGISTRY_INTERNAL``
@@ -170,6 +170,7 @@ ORACLE_PANELS: dict[str, tuple[str, ...]] = {
         "doc_chunks",  # r5: context-window chunking, md5-pinned content
         "unigram_perplexity_scores",  # r6: perplexity quality filter
         "pii_redaction_stats",  # r6: PII scrub, redacted text md5-pinned
+        "source_boilerplate_stripped",  # r6: per-source prefix removal
     ),
     # ngram_jaccard_blocked (not the unblocked _pairs): the exposed
     # surface exercises the scale-safe shape; the all-pairs exact

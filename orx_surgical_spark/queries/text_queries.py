@@ -542,3 +542,73 @@ def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(red).cast("int").alias("redacted_len"),
         F.md5(red).alias("redacted_md5"),
     )
+
+
+@register(
+    "source_boilerplate_stripped",
+    oracle="""
+    WITH enriched AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 2 = 0
+                  THEN 'promo header from ' || source || ' click here now '
+                       || text
+                  ELSE text END AS text
+      FROM documents
+    ), base AS (
+      SELECT doc_id, source,
+             string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM enriched
+    ), pfx AS (
+      SELECT doc_id, source, toks,
+             array_to_string(toks[1:7], ' ') AS prefix
+      FROM base
+    ), boiler AS (
+      SELECT source, prefix
+      FROM pfx GROUP BY source, prefix
+      HAVING COUNT(*) * 1.0
+             / (SELECT COUNT(*) FROM pfx p2 WHERE p2.source = pfx.source)
+             >= 0.3
+    ), stripped AS (
+      SELECT p.doc_id, p.source,
+             (b.prefix IS NOT NULL) AS was_stripped,
+             CASE WHEN b.prefix IS NOT NULL THEN p.toks[8:len(p.toks)]
+                  ELSE p.toks END AS out_toks
+      FROM pfx p LEFT JOIN boiler b
+        ON p.source = b.source AND p.prefix = b.prefix
+    )
+    SELECT doc_id, source, was_stripped,
+           CAST(len(out_toks) AS INTEGER) AS n_tokens_out,
+           md5(array_to_string(out_toks, ' ')) AS cleaned_md5
+    FROM stripped
+    """,
+    doc="Per-source boilerplate-prefix removal (operators.text."
+        "strip_source_boilerplate): a 7-token prefix shared by >= 30%% "
+        "of a source's docs is that source's boilerplate; detection is "
+        "two tiny (source, prefix) aggregates broadcast back, the strip "
+        "a map-only projection — the corpus never shuffles. The "
+        "deterministic header enrichment (even doc_ids get a per-source "
+        "promo header; same precedent as the PII / partsupp "
+        "constructions) gives both engines identical boilerplate to "
+        "find; cleaned text pinned by md5.",
+    tags=("text", "boilerplate"),
+)
+def source_boilerplate_stripped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    enriched = docs.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit("promo header from "),
+                F.col("source"),
+                F.lit(" click here now "),
+                F.col("text"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return X.strip_source_boilerplate(
+        enriched, prefix_tokens=7, min_frac=0.3
+    )

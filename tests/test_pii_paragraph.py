@@ -198,3 +198,34 @@ def test_scd2_upsert_four_branches(spark):
         (3, 30.0, "2020-01-01", "None"),        # absent -> pass-through
         (4, 40.0, "2021-06-15", "None"),        # brand-new key
     ]
+
+
+def test_strip_source_boilerplate_threshold(spark):
+    """Boilerplate = prefix shared by >= min_frac of a SOURCE's docs;
+    below-threshold prefixes and other sources stay untouched, and a
+    doc equal to its boilerplate prefix strips to empty."""
+    # srcA: 3/4 docs share the 2-token header (>= 0.5 fires);
+    # srcB: 2 docs, distinct prefixes (no boilerplate)
+    df = spark.createDataFrame(
+        [
+            (0, "srcA", "buy now alpha beta"),
+            (1, "srcA", "buy now gamma"),
+            (2, "srcA", "buy now"),          # fully consumed by prefix
+            (3, "srcA", "organic words here"),
+            (4, "srcB", "buy now delta"),    # same prefix, other source:
+            (5, "srcB", "unrelated text"),   # 1/2 = 0.5 -> fires there too
+        ],
+        ["doc_id", "source", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in X.strip_source_boilerplate(
+            df, prefix_tokens=2, min_frac=0.6
+        ).collect()
+    }
+    assert [out[i]["was_stripped"] for i in range(6)] == [
+        True, True, True, False, False, False,
+    ]
+    assert out[2]["n_tokens_out"] == 0  # stripped to empty, no error
+    assert out[0]["n_tokens_out"] == 2  # "alpha beta"
+    assert out[3]["n_tokens_out"] == 3  # untouched
