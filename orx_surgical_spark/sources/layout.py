@@ -164,3 +164,14 @@ def write_zordered(
     parted.sortWithinPartitions("__z").drop("__ra", "__rb", "__z").write.mode(
         "overwrite"
     ).parquet(path)
+
+
+def read_parquet_evolving(spark: SparkSession, *paths: str) -> DataFrame:
+    """Schema-evolution read across parquet generations: a table whose
+    later shards added columns reads as the UNION schema
+    (``mergeSchema`` — Spark reconciles the footers; missing columns
+    come back NULL for old shards). The option costs a footer read per
+    file at planning time, which is why it is opt-in here and off in
+    the hot readers: at 100 TB you pin one merged schema once, then
+    read with an explicit schema."""
+    return spark.read.option("mergeSchema", "true").parquet(*paths)

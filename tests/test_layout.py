@@ -93,3 +93,23 @@ def test_write_zordered_prunes_both_dimensions(spark, sf_dir, tmp_path):
         hits = [r for r in ranges if r[1] <= probe <= r[2]]
         # both dimensions prune: strictly fewer than all files match
         assert 0 < len(hits) < n_files, (col, len(hits), n_files)
+
+
+def test_read_parquet_evolving_union_schema(spark, sf_dir, tmp_path):
+    """Two parquet generations (the later one adds a column) read as
+    the union schema, old rows NULL-filled for the new column."""
+    from orx_surgical_spark.sources.layout import read_parquet_evolving
+
+    gen1 = str(tmp_path / "g1")
+    gen2 = str(tmp_path / "g2")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.select("doc_id", "lang").write.parquet(gen1)
+    docs.select(
+        "doc_id", "lang", F.length("text").alias("added_len")
+    ).write.parquet(gen2)
+
+    merged = read_parquet_evolving(spark, gen1, gen2)
+    assert set(merged.columns) == {"doc_id", "lang", "added_len"}
+    n = docs.count()
+    assert merged.count() == 2 * n
+    assert merged.where(F.col("added_len").isNull()).count() == n
