@@ -186,6 +186,11 @@ def scd2_upsert(
     - key absent from updates -> history passes through;
     - brand-new key -> new open row.
 
+    Precondition: ``updates`` is a SNAPSHOT — at most one row per key
+    (the usual CDC-compacted form; compact with
+    ``latest_event_per_user``-style row_number first if not). The
+    full-outer join would otherwise multiply versions.
+
     Shape at scale: closed history passes through UNTOUCHED (no join —
     at lake scale closed rows dominate and never need rewriting; with a
     partition-on-``valid_to`` layout the pass-through is pure file

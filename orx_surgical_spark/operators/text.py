@@ -531,7 +531,11 @@ def strip_source_boilerplate(
     per_prefix = base.groupBy(source_col, "__prefix").agg(
         F.count(F.lit(1)).alias("__c")
     )
-    per_source = base.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    # per-source totals ride the per-prefix aggregate (sum of counts) —
+    # one corpus-wide aggregate, not two scans of the corpus
+    per_source = per_prefix.groupBy(source_col).agg(
+        F.sum("__c").alias("__n")
+    )
     boiler = (
         per_prefix.join(per_source, source_col)
         .where(F.col("__c") / F.col("__n") >= min_frac)

@@ -438,6 +438,12 @@ _NORM_HASH = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
     ), inc AS (
       SELECT doc_id, {_NORM_HASH} AS content_hash
       FROM documents WHERE doc_id % 2 = 1
+      UNION ALL
+      SELECT doc_id + 10000000, {_NORM_HASH}
+      FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 20000000, {_NORM_HASH}
+      FROM documents WHERE doc_id % 2 = 1 AND doc_id % 25 = 0
     ), r AS (
       SELECT i.doc_id, i.content_hash,
              (x.content_hash IS NOT NULL) AS in_idx,
@@ -456,15 +462,34 @@ _NORM_HASH = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
         "incoming shard): per-doc dup_index / dup_batch / new decision "
         "via one LEFT join on the content hash + a min-id window — the "
         "continuously-fed pipeline mode where the accepted corpus "
-        "exists only as a compact hash index, never re-read.",
+        "exists only as a compact hash index, never re-read. The "
+        "incoming shard is enriched with deterministic re-ingestions "
+        "(copies of doc_id%10=0 index docs under new ids -> dup_index; "
+        "second copies of doc_id%25=0 odd docs -> dup_batch), so all "
+        "three decision branches fire at every SF — the synthetic "
+        "corpus has no natural cross-doc duplicates at sf<=0.01.",
     tags=("dedup", "incremental"),
 )
 def incremental_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from orx_surgical_spark.operators.text import normalized_text
 
     docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
-    index = docs.where(F.col("doc_id") % 2 == 0).select(
+    did = F.col("doc_id")
+    index = docs.where(did % 2 == 0).select(
         F.md5(normalized_text("text")).alias("content_hash")
     )
-    incoming = docs.where(F.col("doc_id") % 2 == 1)
+    odd = docs.where(did % 2 == 1)
+    incoming = (
+        odd.select("doc_id", "text")
+        .unionByName(
+            docs.where(did % 10 == 0).select(
+                (did + 10000000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            odd.where(did % 25 == 0).select(
+                (did + 20000000).alias("doc_id"), "text"
+            )
+        )
+    )
     return D.incremental_dedup(incoming, index)
