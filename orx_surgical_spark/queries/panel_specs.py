@@ -2,7 +2,7 @@
 
 The grading driver's correctness gate checks at most ~50 queries per
 round (round 1 recorded exactly the first 50 catalog names
-alphabetically), while the full registry declares 180 fine-grained
+alphabetically), while the full registry declares 181 fine-grained
 entries. To get EVERY SURVEY §2 operator a driver-green row, the
 driver-facing surface (``__spark_entry__.queries()``) exposes:
 
@@ -15,7 +15,7 @@ driver-facing surface (``__spark_entry__.queries()``) exposes:
   oracle applies the identical serialization to each member's oracle
   SQL.
 
-The internal registry keeps all 180 fine-grained entries: tests and
+The internal registry keeps all 181 fine-grained entries: tests and
 ``bench.py`` keep their per-operator resolution.
 
 Exception: the two quadratic exact baselines in ``REGISTRY_INTERNAL``
@@ -211,6 +211,7 @@ ORACLE_PANELS: dict[str, tuple[str, ...]] = {
         "stream_interval_join",
         "stream_left_outer_join",  # r5: watermark-evicted outer emission
         "stream_dedup_watermark",
+        "stream_static_enrich",  # r6: stream-static broadcast enrich
     ),
     # Promoted from ROWS_ONLY in r5: both members now canonicalize their
     # vector content to order-free strings (active-index CSV / sorted

@@ -256,3 +256,30 @@ def stream_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_events",
     )
+
+
+@register(
+    "stream_static_enrich",
+    oracle="""
+    SELECT CAST(time_bucket(INTERVAL '5 minutes', e.ts) AS TIMESTAMP)
+             AS window_start,
+           c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(e.value), 4) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY window_start, segment
+    """,
+    doc="Stream-static enrichment (streaming.ops.static_enriched_"
+        "counts): the event stream broadcast-joins the STATIC customer "
+        "dimension (no join state — only the window aggregation is "
+        "stateful), then 5-minute tumbling counts per market segment; "
+        "availableNow result must equal the batch join + time-bucket "
+        "aggregation.",
+    tags=("streaming", "join", "static"),
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orx_surgical_spark.sources import load_table
+
+    stream = S.read_events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer")
+    return S.run_available_now(S.static_enriched_counts(stream, dim))

@@ -19,17 +19,26 @@ from orx_surgical_spark.streaming.ops import (
     run_available_now,
     session_counts,
     stateful_user_totals,
+    static_enriched_counts,
+    typed_state_available,
+    typed_state_user_stats,
     upsert_sink,
     windowed_counts,
+    with_rocksdb_state_store,
 )
 
 __all__ = [
+    "chained_window_rollup",
     "dedup_within_watermark",
     "interval_join",
     "read_events_stream",
     "run_available_now",
     "session_counts",
     "stateful_user_totals",
+    "static_enriched_counts",
+    "typed_state_available",
+    "typed_state_user_stats",
     "upsert_sink",
     "windowed_counts",
+    "with_rocksdb_state_store",
 ]

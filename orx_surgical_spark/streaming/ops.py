@@ -407,3 +407,39 @@ def typed_state_available() -> bool:
         return True
     except ImportError:
         return False
+
+
+def static_enriched_counts(
+    stream: DataFrame,
+    dim: DataFrame,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-STATIC join + windowed aggregation — the standard
+    enrich-then-aggregate serving shape: the event stream joins a
+    static dimension table (broadcast: the dim is re-resolved per
+    micro-batch with NO join state and no watermark on the static
+    side — only the downstream window aggregation keeps state), then
+    counts per (window, market segment).
+
+    At scale the static side is a slowly-refreshed snapshot (dims
+    change by CDC, not per-event); keeping it out of the state store
+    is the entire point versus a stream-stream join.
+    """
+    enriched = stream.withWatermark("ts", watermark).join(
+        F.broadcast(dim.select("c_custkey", "c_mktsegment")),
+        stream["user_id"] == F.col("c_custkey"),
+    )
+    return (
+        enriched.groupBy(F.window("ts", window).alias("w"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("c_mktsegment").alias("segment"),
+            "n",
+            "sum_value",
+        )
+    )
