@@ -124,3 +124,69 @@ def test_trapezoid_auc_known_values():
     assert math.isclose(
         trapezoid_auc([(0, 0), (0.5, 0.5), (1, 1)]), 0.5
     )
+
+
+def test_paragraph_dedup_conservation_batch(spark):
+    """One seeded batch pins the paragraph-dedup invariants over many
+    generated docs at once: (1) sum(n_kept) == number of DISTINCT
+    segments in the whole corpus (each distinct segment survives in
+    exactly one doc); (2) n_kept <= n_segs everywhere; (3) a doc built
+    from globally-unique tokens keeps every segment."""
+    import random
+
+    from orx_surgical_spark.operators.dedup import paragraph_dedup
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 50))))
+        for i in range(200)
+    ]
+    rows.append((999, " ".join(f"unique{i}" for i in range(40))))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = paragraph_dedup(df, seg_tokens=5).collect()
+
+    # distinct segments, recomputed independently in python
+    def segs(text):
+        toks = text.lower().split()
+        return [
+            " ".join(toks[i : i + 5]) for i in range(0, len(toks), 5)
+        ]
+
+    all_segs = {s for _, t in rows for s in segs(t)}
+    assert sum(r["n_kept"] for r in out) == len(all_segs)
+    assert all(0 <= r["n_kept"] <= r["n_segs"] for r in out)
+    unique_doc = next(r for r in out if r["doc_id"] == 999)
+    assert unique_doc["n_kept"] == unique_doc["n_segs"] == 8
+
+
+def test_pii_redact_idempotent_batch(spark):
+    """Redaction is a fixed point: applying the scrub twice equals
+    applying it once, over a seeded batch of adversarial strings
+    (partial emails, dotted numbers, placeholders already present)."""
+    import random
+
+    from orx_surgical_spark.operators.text import pii_counts, pii_redact
+
+    rng = random.Random(11)
+    frags = [
+        "a@b.co", "x@y", "10.1.2.3", "1.2.3", "123-45-6789", "123-456",
+        "[EMAIL]", "[IP]", "plain", "dots...", "u_%+-@d-e.info", "999",
+    ]
+    rows = [
+        (i, " ".join(rng.choice(frags) for _ in range(rng.randint(1, 10))))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, ["i", "t"])
+    once = pii_redact("t")
+    chk = df.select(
+        (pii_redact(once) == once).alias("fixed"),
+        *[c.alias(f"resid_{n}") for n, c in pii_counts(once).items()],
+    )
+    agg = chk.agg(
+        F.min("fixed").alias("all_fixed"),
+        F.sum(F.col("resid_email") + F.col("resid_ipv4")
+              + F.col("resid_id_number")).alias("resid"),
+    ).first()
+    assert agg["all_fixed"] is True
+    assert agg["resid"] == 0
