@@ -113,3 +113,35 @@ def test_read_parquet_evolving_union_schema(spark, sf_dir, tmp_path):
     n = docs.count()
     assert merged.count() == 2 * n
     assert merged.where(F.col("added_len").isNull()).count() == n
+
+
+def test_interleave_bits_matches_python_reference(spark):
+    """The JVM bit-interleave equals the python Morton reference over a
+    seeded batch, and preserves the Z-curve's locality-defining
+    property that interleave is monotonic when one coordinate is fixed."""
+    import random
+
+    from orx_surgical_spark.sources.layout import _interleave_bits
+
+    rng = random.Random(3)
+    rows = [(rng.randrange(1 << 16), rng.randrange(1 << 16)) for _ in range(500)]
+    df = spark.createDataFrame(rows, ["a", "b"])
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.select(
+            "a", "b", _interleave_bits(F.col("a"), F.col("b")).alias("z")
+        ).collect()
+    }
+
+    def morton(a, b):
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    for (a, b), z in got.items():
+        assert z == morton(a, b)
+    # monotone in a for fixed b
+    zs = sorted((a, morton(a, 7)) for a in range(0, 1 << 16, 997))
+    assert all(z1 < z2 for (_, z1), (_, z2) in zip(zs, zs[1:]))
