@@ -162,3 +162,37 @@ def test_runtime_bloom_filter_injection(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_cbo_table_stats_reach_the_planner(spark, sf_dir, tmp_path):
+    """Catalog statistics (ANALYZE TABLE) reach the optimizer: after
+    computing stats, the plan's cost model sees the real row count —
+    the machinery CBO join reordering and broadcast decisions run on
+    at warehouse scale. (The assertion pins stats propagation, not a
+    specific reorder: reorders need multi-join queries whose best order
+    is scale-dependent.)"""
+    name = "cbo_probe_orders"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders.write.saveAsTable(name)
+    try:
+        n = orders.count()
+        spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
+        stats = spark.sql(f"DESCRIBE EXTENDED {name}").collect()
+        stat_row = next(
+            r for r in stats if r["col_name"].strip() == "Statistics"
+        )
+        assert f"{n} rows" in stat_row["data_type"], stat_row
+        # and, with the cost-based optimizer on, the planner-visible
+        # relation carries the exact rowCount (CBO off -> size-only
+        # estimates; the rowCount channel is what join reordering uses)
+        prev = spark.conf.get("spark.sql.cbo.enabled", "false")
+        try:
+            spark.conf.set("spark.sql.cbo.enabled", "true")
+            rel = spark.table(name)._jdf.queryExecution().optimizedPlan()
+            row_count = rel.stats().rowCount()
+            assert row_count.isDefined() and int(str(row_count.get())) == n
+        finally:
+            spark.conf.set("spark.sql.cbo.enabled", prev)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
