@@ -50,14 +50,29 @@ def main() -> int:
     ap.add_argument("--json-out", default=None)
     ap.add_argument(
         "--driver-memory",
-        default="4g",
+        default=None,
         help="JVM heap for the probe session. The conf surface stays "
         "vanilla (driver parity) but the HEAP must scale with the probe "
         "SF: pyspark's default 1g OOMs on the sf0.1 MLP fit after 20+ "
         "queries of accumulated session state (r6), which measures the "
-        "JVM default, not the engine.",
+        "JVM default, not the engine. Default auto-scales with the "
+        "probe input size (4g under ~500MB input, 12g above — the sf1 "
+        "tiles OOM'd a 4g heap on the model fits, r6).",
     )
     args = ap.parse_args()
+    if args.driver_memory is None:
+        input_bytes = sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(args.sf_dir)
+            for f in files
+            if f.endswith(".parquet")
+        ) if os.path.isdir(args.sf_dir) else 0
+        args.driver_memory = "12g" if input_bytes > 500 * 1024 * 1024 else "4g"
+        print(
+            f"[soak] input {input_bytes / 1e6:.0f} MB -> driver heap "
+            f"{args.driver_memory}",
+            flush=True,
+        )
     results: dict[str, dict] = {}
 
     from pyspark.sql import SparkSession
