@@ -286,7 +286,13 @@ def jaccard_verify(
     band pipeline per reference (measured 2x at sf0.1). The eager job
     runs at call time, not first action.
     """
-    cands = cands.localCheckpoint(eager=True)
+    # DISK_ONLY: checkpoint blocks outlive the query (freed lazily by
+    # the context cleaner), and in a long-lived session heap-resident
+    # residue from dedup queries crowds later memory-hungry work (the
+    # sf1 soak's RF fit). Pairs re-read from local disk in microseconds.
+    from pyspark.storagelevel import StorageLevel
+
+    cands = cands.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     ids = (
         cands.select(F.col("id_a").alias(id_col))
         .union(cands.select(F.col("id_b").alias(id_col)))

@@ -67,7 +67,11 @@ def main() -> int:
             for f in files
             if f.endswith(".parquet")
         ) if os.path.isdir(args.sf_dir) else 0
-        args.driver_memory = "12g" if input_bytes > 500 * 1024 * 1024 else "4g"
+        # 24g at probe scale: the sf1 RF/MLP fits already ran at the
+        # memory cliff under 12g (panel_model_scores_b took 1340s of GC
+        # churn in the first green run and OOM'd outright once the r6
+        # additions left more block-manager residue ahead of it)
+        args.driver_memory = "24g" if input_bytes > 500 * 1024 * 1024 else "4g"
         print(
             f"[soak] input {input_bytes / 1e6:.0f} MB -> driver heap "
             f"{args.driver_memory}",
