@@ -70,8 +70,11 @@ def main() -> int:
         # 24g at probe scale: the sf1 RF/MLP fits already ran at the
         # memory cliff under 12g (panel_model_scores_b took 1340s of GC
         # churn in the first green run and OOM'd outright once the r6
-        # additions left more block-manager residue ahead of it)
-        args.driver_memory = "24g" if input_bytes > 500 * 1024 * 1024 else "4g"
+        # additions left more block-manager residue ahead of it).
+        # Threshold is against COMPRESSED parquet bytes — the sf1 tiles
+        # are ~240MB on disk but decompress to GBs in the fits, while
+        # sf0.1 is ~17MB; 100MB separates the two regimes cleanly.
+        args.driver_memory = "24g" if input_bytes > 100 * 1024 * 1024 else "4g"
         print(
             f"[soak] input {input_bytes / 1e6:.0f} MB -> driver heap "
             f"{args.driver_memory}",
