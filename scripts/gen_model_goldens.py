@@ -47,7 +47,21 @@ GOLDEN_MEMBERS: dict[str, str] = {
     "cv_fold_stats": "fold",
     "positive_probe": "event_id",
 }
-SF_DIRS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+#: Graded SFs plus the soak scales (VERDICT r6 item 6: without frozen
+#: rows at the scales the soak actually runs, its drift check was a
+#: no-op).  ``.scale/sf1`` is included when present — it is itself a
+#: deterministic function of sf0.1 (gen_scale_tiles.py), so its golden
+#: is reproducible even though the tiles are gitignored.
+SF_DIRS = (
+    "/root/testdata/sf0.001",
+    "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1",
+)
+_SCALE_SF1 = os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..", ".scale", "sf1")
+)
+if os.path.isdir(_SCALE_SF1):
+    SF_DIRS = SF_DIRS + (_SCALE_SF1,)
 OUT_DIR = os.path.join(os.path.dirname(__file__), "..", "goldens")
 
 
@@ -57,8 +71,11 @@ def main() -> None:
     # Vanilla session on purpose: goldens must be what the grading
     # driver's own session computes (ANSI on, no repo confs).
     spark = (
-        SparkSession.builder.master("local[4]")
+        SparkSession.builder.master("local[8]")
         .config("spark.ui.enabled", "false")
+        # Heap only — the conf SURFACE stays vanilla (no repo confs);
+        # 1 g default cannot hold the sf1 golden materialization.
+        .config("spark.driver.memory", "8g")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
