@@ -30,14 +30,25 @@ class PiiSpans:
     """One row per PII match in ``text``: type, [start, end) character
     offsets, and the matched substring — the span-level view of
     :func:`orx_surgical_spark.operators.text.pii_redact` (same
-    patterns, so a span report and a scrub can never disagree)."""
+    patterns, and the same precedence: ``pii_redact`` chains
+    ``regexp_replace`` in ``PII_PATTERNS`` order, so text consumed by
+    an earlier pattern is gone before a later one runs.  Spans
+    replicate that by dropping any match overlapping a span already
+    claimed by an earlier pattern — e.g. the IPv4 lookalike inside an
+    email-shaped match like ``a@1.2.3.4.com`` yields ONE email span,
+    exactly as the scrub redacts it once)."""
 
     def eval(self, text: str):
         if text is None:
             return
+        claimed: list[tuple[int, int]] = []
         for pii_type, (pat, _) in PII_PATTERNS.items():
             for m in re.finditer(pat, text):
-                yield pii_type, m.start(), m.end(), m.group()
+                s, e = m.start(), m.end()
+                if any(s < ce and cs < e for cs, ce in claimed):
+                    continue  # inside an earlier pattern's territory
+                claimed.append((s, e))
+                yield pii_type, s, e, m.group()
 
 
 def register_udtfs(spark: SparkSession) -> None:

@@ -281,10 +281,12 @@ def jaccard_verify(
     unfiltered — callers round/threshold).
 
     ``cands`` is referenced twice (endpoint ids + the pair probe), so it
-    is eagerly ``localCheckpoint``-ed first: candidate pairs are tiny
-    post-LSH, and materializing them once beats re-running the whole
-    band pipeline per reference (measured 2x at sf0.1). The eager job
-    runs at call time, not first action.
+    is ``localCheckpoint``-ed first: candidate pairs are tiny post-LSH,
+    and materializing them once beats re-running the whole band
+    pipeline per reference (measured 2x at sf0.1). Lazy (eager=False,
+    ADVICE r6): the checkpoint fires on FIRST ACTION and is shared by
+    both references, so merely building the DataFrame (schema probes,
+    explain) stays free of Spark jobs.
     """
     # DISK_ONLY: checkpoint blocks outlive the query (freed lazily by
     # the context cleaner), and in a long-lived session heap-resident
@@ -292,7 +294,7 @@ def jaccard_verify(
     # sf1 soak's RF fit). Pairs re-read from local disk in microseconds.
     from pyspark.storagelevel import StorageLevel
 
-    cands = cands.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    cands = cands.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     ids = (
         cands.select(F.col("id_a").alias(id_col))
         .union(cands.select(F.col("id_b").alias(id_col)))

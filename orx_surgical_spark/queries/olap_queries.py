@@ -486,7 +486,9 @@ def full_outer_daily_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ELSE c_acctbal END AS balance
       FROM customer WHERE c_custkey % 7 <> 0
       UNION ALL
-      SELECT c_custkey + 1000000, 0.0 FROM customer WHERE c_custkey % 50 = 0
+      -- +100000000 clears real custkeys at any SF (max = 150000*SF;
+      -- +1e6 collided from SF~7, breaking the one-row-per-key precondition)
+      SELECT c_custkey + 100000000, 0.0 FROM customer WHERE c_custkey % 50 = 0
     ), j AS (
       SELECT h.c_custkey AS hk, h.balance AS hb, h.valid_from, h.valid_to,
              u.c_custkey AS uk, u.balance AS ub
@@ -542,7 +544,7 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(
             cust.where(k % 50 == 0).select(
-                (k + 1000000).alias("c_custkey"),
+                (k + 100000000).alias("c_custkey"),
                 F.lit(0.0).alias("balance"),
             )
         )

@@ -40,16 +40,27 @@ def read_events_stream(
     batch plans see identical types and ``withWatermark`` (which rejects
     NTZ) always gets a TIMESTAMP.
     """
+    import os
+
     from orx_surgical_spark.sources.readers import _normalize_ts
 
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
-    # The file stream source wants a directory; select the one file (or,
-    # in production, the growing file set) with a glob filter.
-    reader = spark.readStream.schema(schema).option("pathGlobFilter", "events.parquet")
+    reader = spark.readStream.schema(schema)
+    if os.path.isdir(path):
+        # Multi-file table (the sf1 scale tiles; any real dataset): the
+        # file source streams the directory's files directly. A glob of
+        # the directory NAME matches zero files — the silent-empty-
+        # stream bug the r6 sf1 soak recorded as 0-row stream panels.
+        target = path
+    else:
+        # Single-file graded layout: the file source wants a directory,
+        # so stream sf_dir with a glob selecting the one file.
+        reader = reader.option("pathGlobFilter", "events.parquet")
+        target = sf_dir
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return _normalize_ts(reader.parquet(sf_dir))
+    return _normalize_ts(reader.parquet(target))
 
 
 def windowed_counts(
@@ -295,6 +306,60 @@ def chained_window_rollup(
     )
 
 
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+
+class UserStatsProcessor(StatefulProcessor):
+    """Typed-state processor behind :func:`typed_state_user_stats`.
+
+    Module-level (not a closure) so its pure logic — the running
+    (n, total) ValueState, the per-type MapState tallies, and the
+    deterministic top_type tie rule (max count, then lexicographically
+    smallest type) — is drivable by unit tests with fake state handles
+    (``tests/test_streaming.py``): the streaming ENGINE path for this
+    API needs a protobuf runtime this container lacks (permanent env
+    gate, COVERAGE.md), but the processor semantics stay executable
+    coverage rather than coverage on paper.
+    """
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._agg = handle.getValueState("agg", "n BIGINT, total DOUBLE")
+        self._types = handle.getMapState(
+            "types", "event_type STRING", "c BIGINT"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        n, total = (
+            self._agg.get() if self._agg.exists() else (0, 0.0)
+        )
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            for t, c in pdf["event_type"].value_counts().items():
+                prev = self._types.getValue((t,))
+                self._types.updateValue(
+                    (t,), ((prev[0] if prev else 0) + int(c),)
+                )
+        self._agg.update((n, total))
+        counts = {k[0]: self._types.getValue(k)[0] for k in self._types.keys()}
+        top = min(counts, key=lambda t: (-counts[t], t))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 4)],
+                "n_types": [len(counts)],
+                "top_type": [top],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
 def typed_state_user_stats(stream: DataFrame) -> DataFrame:
     """Custom stateful operator via ``transformWithStateInPandas`` —
     Spark 4's arbitrary-stateful-processing API (the successor to
@@ -315,50 +380,10 @@ def typed_state_user_stats(stream: DataFrame) -> DataFrame:
     deterministic tie rule: max count, then lexicographically smallest
     type.
     """
-    from pyspark.sql.streaming.stateful_processor import (
-        StatefulProcessor,
-        StatefulProcessorHandle,
-    )
-
-    class UserStats(StatefulProcessor):
-        def init(self, handle: StatefulProcessorHandle) -> None:
-            self._agg = handle.getValueState("agg", "n BIGINT, total DOUBLE")
-            self._types = handle.getMapState(
-                "types", "event_type STRING", "c BIGINT"
-            )
-
-        def handleInputRows(self, key, rows, timerValues):
-            n, total = (
-                self._agg.get() if self._agg.exists() else (0, 0.0)
-            )
-            for pdf in rows:
-                n += len(pdf)
-                total += float(pdf["value"].sum())
-                for t, c in pdf["event_type"].value_counts().items():
-                    prev = self._types.getValue((t,))
-                    self._types.updateValue(
-                        (t,), ((prev[0] if prev else 0) + int(c),)
-                    )
-            self._agg.update((n, total))
-            counts = {k[0]: self._types.getValue(k)[0] for k in self._types.keys()}
-            top = min(counts, key=lambda t: (-counts[t], t))
-            yield pd.DataFrame(
-                {
-                    "user_id": [key[0]],
-                    "n_events": [n],
-                    "total_value": [round(total, 4)],
-                    "n_types": [len(counts)],
-                    "top_type": [top],
-                }
-            )
-
-        def close(self) -> None:
-            pass
-
     return stream.select("user_id", "event_type", "value").groupBy(
         "user_id"
     ).transformWithStateInPandas(
-        statefulProcessor=UserStats(),
+        statefulProcessor=UserStatsProcessor(),
         outputStructType=(
             "user_id bigint, n_events bigint, total_value double, "
             "n_types int, top_type string"

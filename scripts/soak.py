@@ -43,11 +43,33 @@ import traceback
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+def artifact_path(json_out: str, n_failures: int, allow_red: bool) -> str:
+    """Where a soak artifact may be written (VERDICT r6 'What's wrong'
+    3: the r6 snapshot overwrote a green sf1 artifact with a crashed
+    re-run, so the committed evidence contradicted the commit message).
+
+    A red run never lands on the green path unless explicitly forced:
+    without ``--allow-red`` it is diverted to ``<path>.failed.json`` so
+    the regression is loud, diffable, and cannot silently replace
+    passing evidence.
+    """
+    if n_failures > 0 and not allow_red:
+        return json_out + ".failed.json"
+    return json_out
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     ap.add_argument("--json-out", default=None)
+    ap.add_argument(
+        "--allow-red",
+        action="store_true",
+        help="Permit a run with failures to write to --json-out itself; "
+        "by default a red run is diverted to <path>.failed.json so it "
+        "can never silently replace a green committed artifact.",
+    )
     ap.add_argument(
         "--driver-memory",
         default=None,
@@ -150,8 +172,16 @@ def main() -> int:
         import json
         import resource
 
+        out_path = artifact_path(args.json_out, len(failures), args.allow_red)
+        if out_path != args.json_out:
+            print(
+                f"[soak] RED run ({len(failures)} failures): refusing to "
+                f"write {args.json_out}; diverting to {out_path} "
+                "(pass --allow-red to force)",
+                flush=True,
+            )
         peak_rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
-        with open(args.json_out, "w") as f:
+        with open(out_path, "w") as f:
             json.dump(
                 {
                     "sf_dir": args.sf_dir,
@@ -166,7 +196,7 @@ def main() -> int:
                 f,
                 indent=1,
             )
-        print(f"[soak] wrote {args.json_out}", flush=True)
+        print(f"[soak] wrote {out_path}", flush=True)
     if failures:
         print(f"[soak] FAILED after {total:.0f}s: {failures}", flush=True)
         return 1

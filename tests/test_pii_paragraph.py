@@ -229,3 +229,37 @@ def test_strip_source_boilerplate_threshold(spark):
     assert out[2]["n_tokens_out"] == 0  # stripped to empty, no error
     assert out[0]["n_tokens_out"] == 2  # "alpha beta"
     assert out[3]["n_tokens_out"] == 3  # untouched
+
+
+def test_pii_spans_overlap_precedence_matches_redact(spark):
+    """Overlapping patterns (an IPv4 lookalike inside an email-shaped
+    match, 'a@1.2.3.4.com') must yield ONE span under the same
+    precedence pii_redact applies (PII_PATTERNS order): span-driven
+    replacement then equals the chained-regexp scrub."""
+    from orx_surgical_spark.functions.udtfs import register_udtfs
+    from orx_surgical_spark.operators.text import PII_PATTERNS
+
+    register_udtfs(spark)
+    text = "mail a@1.2.3.4.com now"
+    spark.createDataFrame([(1, text)], ["doc_id", "text"]).createOrReplaceTempView(
+        "pii_overlap_docs"
+    )
+    rows = spark.sql(
+        """
+        SELECT s.pii_type, s.start, s.end, s.matched
+        FROM pii_overlap_docs d, LATERAL pii_spans(d.text) s
+        ORDER BY s.start
+        """
+    ).collect()
+    assert [(r.pii_type, r.matched) for r in rows] == [
+        ("email", "a@1.2.3.4.com")
+    ]
+    red = text
+    for r in sorted(rows, key=lambda r: -r.start):
+        red = red[: r.start] + PII_PATTERNS[r.pii_type][1] + red[r.end :]
+    expected = (
+        spark.createDataFrame([(text,)], ["t"])
+        .select(X.pii_redact("t").alias("r"))
+        .first()["r"]
+    )
+    assert red == expected

@@ -1,0 +1,59 @@
+"""Soak artifact hygiene (VERDICT r6 'What's wrong' 3): a red probe
+run must never silently replace green committed scale evidence."""
+
+import importlib.util
+import os
+
+_spec = importlib.util.spec_from_file_location(
+    "soak",
+    os.path.join(os.path.dirname(__file__), "..", "scripts", "soak.py"),
+)
+soak = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(soak)
+
+
+def test_green_run_writes_to_requested_path():
+    assert soak.artifact_path("SOAK.json", 0, False) == "SOAK.json"
+    assert soak.artifact_path("SOAK.json", 0, True) == "SOAK.json"
+
+
+def test_red_run_is_diverted_unless_forced():
+    assert soak.artifact_path("SOAK.json", 3, False) == "SOAK.json.failed.json"
+    assert soak.artifact_path("SOAK.json", 3, True) == "SOAK.json"
+
+
+def test_committed_soak_artifacts_cited_as_evidence_are_green():
+    """Doc-sync (VERDICT r6 item 8): any SOAK_*.json committed at the
+    repo root is presented as scale evidence — none may contain
+    failures. A red run belongs in *.failed.json (gitignored history),
+    not in the evidence tree."""
+    import json
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    for name in sorted(os.listdir(root)):
+        if name.startswith("SOAK_") and name.endswith(".json"):
+            with open(os.path.join(root, name)) as f:
+                art = json.load(f)
+            assert art.get("n_failures") == 0, (
+                f"{name} is red (n_failures={art.get('n_failures')}): "
+                "a failing artifact must not be committed as evidence"
+            )
+
+
+def test_readme_cited_soak_artifacts_exist_and_are_green():
+    """Every SOAK_*.json the README cites must exist and be green —
+    the r6 failure mode was exactly a red artifact sitting behind a
+    green claim."""
+    import json
+    import re
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    with open(os.path.join(root, "README.md")) as f:
+        cited = set(re.findall(r"SOAK_\w+\.json", f.read()))
+    assert cited, "README no longer documents the soak evidence"
+    for name in sorted(cited):
+        path = os.path.join(root, name)
+        assert os.path.exists(path), f"README cites missing artifact {name}"
+        with open(path) as f:
+            art = json.load(f)
+        assert art.get("n_failures") == 0, f"README cites red artifact {name}"

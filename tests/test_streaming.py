@@ -132,3 +132,75 @@ def test_typed_state_user_stats_matches_batch(spark, sf_dir):
         assert g["n_events"] == r["n_events"]
         assert g["total_value"] == pytest.approx(r["total_value"])
         assert g["n_types"] == r["n_types"]
+
+
+def test_typed_state_processor_pure_logic_without_engine():
+    """The transformWithStateInPandas ENGINE needs a protobuf runtime
+    this container lacks (permanent gate, COVERAGE.md) — but the
+    processor's semantics must not ship unseen (ADVICE r6): drive
+    UserStatsProcessor directly with fake typed-state handles across
+    two micro-batches and check accumulation, the MapState tallies,
+    and the top_type tie rule (max count, then lexicographically
+    smallest type)."""
+    import pandas as pd
+
+    from orx_surgical_spark.streaming.ops import UserStatsProcessor
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class FakeMapState:
+        def __init__(self):
+            self._m = {}
+
+        def getValue(self, k):
+            return self._m.get(k)
+
+        def updateValue(self, k, v):
+            self._m[k] = v
+
+        def keys(self):
+            return iter(list(self._m))
+
+    class FakeHandle:
+        def __init__(self):
+            self.value_states = {}
+            self.map_states = {}
+
+        def getValueState(self, name, schema):
+            return self.value_states.setdefault(name, FakeValueState())
+
+        def getMapState(self, name, kschema, vschema):
+            return self.map_states.setdefault(name, FakeMapState())
+
+    proc = UserStatsProcessor()
+    proc.init(FakeHandle())
+
+    b1 = pd.DataFrame(
+        {"event_type": ["view", "view", "click"], "value": [1.0, 2.0, 3.0]}
+    )
+    (out1,) = list(proc.handleInputRows((7,), [b1], None))
+    assert out1.iloc[0].to_dict() == {
+        "user_id": 7, "n_events": 3, "total_value": 6.0,
+        "n_types": 2, "top_type": "view",
+    }
+
+    # batch 2: 'click' catches up to 'view' (2 vs 2) -> tie broken
+    # lexicographically: 'click' < 'view'.
+    b2 = pd.DataFrame({"event_type": ["click"], "value": [0.5]})
+    (out2,) = list(proc.handleInputRows((7,), [b2], None))
+    assert out2.iloc[0].to_dict() == {
+        "user_id": 7, "n_events": 4, "total_value": 6.5,
+        "n_types": 2, "top_type": "click",
+    }
+    proc.close()
