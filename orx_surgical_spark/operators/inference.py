@@ -71,6 +71,36 @@ def batch_score(
     return df.withColumn(out, udf(F.array(*[F.col(c) for c in feature_cols])))
 
 
+def batch_score_array(
+    df: DataFrame,
+    make_predict_fn: Callable[[], Callable],
+    array_col: str,
+    n_features: int,
+    out: str = "score",
+    batch_size: int = 64,
+) -> DataFrame:
+    """E9 at reference width: score rows whose features already live in
+    ONE array column.
+
+    :func:`batch_score` assembles ``F.array(col, ...)`` from named
+    columns — fine at 64 features, absurd at the reference's 188,856
+    (366x516 MHE tensor, ``cnn_model.ipynb:61 (cell 2)``): wide data
+    belongs in an array/vector column, and the scorer takes it as-is.
+    Same ``predict_batch_udf`` plumbing (Arrow batches, model loaded
+    once per worker); ``batch_size`` bounds per-batch tensor memory
+    (64 rows x 188,856 float64 ~ 97 MB)."""
+    from pyspark.ml.functions import predict_batch_udf
+    from pyspark.sql import functions as F
+
+    udf = predict_batch_udf(
+        make_predict_fn,
+        return_type=T.DoubleType(),
+        batch_size=batch_size,
+        input_tensor_shapes=[[n_features]],
+    )
+    return df.withColumn(out, udf(F.col(array_col)))
+
+
 def external_checkpoint_model(path: str) -> Callable[[], Callable]:
     """A ``make_predict_fn`` factory over a REAL saved checkpoint.
 

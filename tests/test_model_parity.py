@@ -157,3 +157,46 @@ def test_external_checkpoint_auc_in_band(spark):
     )
     auc = metrics.roc_auc(scored.select("label", "score"), "score", "label")
     assert 0.85 <= auc <= 0.93, auc
+
+
+def test_external_checkpoint_fullwidth_auc_in_band(spark):
+    """F3 external-model tier at the REFERENCE's width (VERDICT r6
+    item 7): 188,856 features — the 366x516 MHE tensor flattened
+    (cnn_model.ipynb cell 2) — scored through the same
+    predict_batch_udf path from the frozen full-width checkpoint, as an
+    array column (no engine materializes 188k named columns). Test
+    AUC must sit in BASELINE.md's deep-model band around the reference
+    CNN's 0.8831."""
+    import os
+
+    import pandas as pd
+
+    from orx_surgical_spark.operators.inference import (
+        batch_score_array,
+        external_checkpoint_model,
+    )
+    from orx_surgical_spark.testing import mhe_fullwidth_arrays
+
+    x, y = mhe_fullwidth_arrays()
+    import numpy as np
+
+    test_mask = np.arange(len(y)) % 5 == 0
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(int(test_mask.sum())),
+            "label": y[test_mask].astype(float),
+            "features": list(x[test_mask].astype(float)),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    ckpt = os.path.join(
+        os.path.dirname(__file__),
+        "..",
+        "goldens",
+        "external_cnn_weights_full.json",
+    )
+    scored = batch_score_array(
+        df, external_checkpoint_model(ckpt), "features", 366 * 516
+    )
+    auc = metrics.roc_auc(scored.select("label", "score"), "score", "label")
+    assert 0.85 <= auc <= 0.93, auc
