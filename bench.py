@@ -73,9 +73,14 @@ def main() -> None:
     # Shuffle width follows input volume (see shuffle_partitions_for_bytes):
     # constant-width shuffles either drown small inputs in task overhead
     # or starve big ones.
+    # os.walk, not listdir: multi-file tables (the sf1 scale tiles)
+    # are DIRECTORIES named <table>.parquet — a flat listdir sees 4 KB
+    # dir entries and starves the shuffle width at exactly the scale
+    # where it matters.
     input_bytes = sum(
-        os.path.getsize(os.path.join(sf_dir, f))
-        for f in os.listdir(sf_dir)
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(sf_dir)
+        for f in files
         if f.endswith(".parquet")
     ) if os.path.isdir(sf_dir) else 0
     spark = get_spark(

@@ -19,11 +19,20 @@ from orx_surgical_spark.schemas import TPCH_TABLES
 
 
 def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
-    """Connection with the driver's pre-registered views."""
+    """Connection with the driver's pre-registered views.
+
+    Multi-file tables (a DIRECTORY named ``<table>.parquet`` — the sf1
+    scale tiles; any real dataset) are registered with a glob: DuckDB's
+    ``read_parquet`` takes file paths, not directories."""
+    import os
+
     con = duckdb.connect()
     for t in TPCH_TABLES:
+        src = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(src):
+            src = f"{src}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')"
         )
     return con
 
