@@ -137,15 +137,19 @@ def embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.35
     """,
     doc="Embedding near-dup with sign-prefix blocking (4 axis-aligned "
-        "hyperplane bits): the join keys on the block, so each side "
-        "shuffles once and cross-bucket pairs are never materialized — "
-        "the 100 TB shape. Deterministic, so oracle-checked.",
+        "hyperplane bits): one shuffle on the block key, cross-bucket "
+        "pairs never materialized — the 100 TB shape. Within-block "
+        "engine is the per-block BLAS Gram matrix "
+        "(similarity.embedding_neardup_pairs_gram, 29x the expression "
+        "variant at sf1; pair-for-pair parity asserted in "
+        "tests/test_ann_invariants.py). Deterministic, so "
+        "oracle-checked.",
     bench=True,
     tags=("similarity", "dedup", "embedding"),
 )
 def embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
-    return S.embedding_neardup_pairs(emb, threshold=0.35, block_bits=4)
+    return S.embedding_neardup_pairs_gram(emb, threshold=0.35, block_bits=4)
 
 
 @register(

@@ -92,3 +92,26 @@ def test_ivf_index_save_load_same_results(spark, sf_dir, tmp_path):
     # layout: one directory per inverted list
     parts = [d for d in os.listdir(f"{path}/lists") if d.startswith("centroid_id=")]
     assert len(parts) == 4
+
+
+def test_gram_neardup_matches_expression_variant(spark, sf_dir):
+    """The per-block BLAS Gram variant must produce exactly the pairs
+    of the expression variant (same blocking, same threshold, cos_sim
+    equal to 6 dp up to float reduction order)."""
+    from orx_surgical_spark.operators.similarity import (
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_gram,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    expr = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in embedding_neardup_pairs(emb, 0.35, block_bits=4).collect()
+    }
+    gram = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in embedding_neardup_pairs_gram(emb, 0.35, block_bits=4).collect()
+    }
+    assert set(expr) == set(gram)
+    for k in expr:
+        assert abs(expr[k] - gram[k]) <= 2e-6, (k, expr[k], gram[k])
