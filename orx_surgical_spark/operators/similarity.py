@@ -270,6 +270,38 @@ def embedding_neardup_pairs_gram(
     )
 
 
+def semantic_dedup_keep(
+    corpus: DataFrame, threshold: float = 0.35,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    block_bits: int = 4,
+) -> DataFrame:
+    """SemDeDup-style embedding-level dedup: keep one representative
+    per near-duplicate relation.
+
+    Composition of the blocked near-dup tier: compute within-block
+    cosine pairs (:func:`embedding_neardup_pairs_gram` — per-block BLAS
+    Gram), then DROP every vector that has a lower-id near-dup
+    (``id_b`` endpoints) — the same greedy first-occurrence keep rule
+    the paragraph dedup uses, so the rule is engine-replayable in SQL
+    (DuckDB oracle replays blocking + pairs + NOT IN).  The published
+    SemDeDup recipe clusters with k-means then prunes within clusters;
+    here the cluster structure is the deterministic sign-LSH block —
+    same shape (bounded within-group quadratic work, one shuffle on
+    the group key), no iterative fit in the query path.
+
+    Returns the kept ``(vec_id)`` rows.  Scale: pair work is bounded by
+    ``block_bits`` exactly as in the near-dup operator; the drop set is
+    tiny (near-dups only) and the final anti-join broadcasts it.
+    """
+    pairs = embedding_neardup_pairs_gram(
+        corpus, threshold, id_col, vec_col, block_bits
+    )
+    drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return corpus.join(F.broadcast(drops), id_col, "left_anti").select(
+        F.col(id_col).cast("long").alias(id_col)
+    )
+
+
 def build_ivf_index(
     corpus: DataFrame, n_centroids: int = 8, id_col: str = "vec_id",
     vec_col: str = "embedding", seed: int = 42,

@@ -104,6 +104,35 @@ _NEARDUP_BASE = """
 
 
 @register(
+    "semantic_dedup_keep",
+    oracle=_NEARDUP_BASE + """
+    , blocked AS (
+      SELECT vec_id, v,
+             CAST(v[1] >= 0 AS INTEGER) || CAST(v[2] >= 0 AS INTEGER)
+               || CAST(v[3] >= 0 AS INTEGER) || CAST(v[4] >= 0 AS INTEGER) AS block
+      FROM e
+    ), drops AS (
+      SELECT DISTINCT b.vec_id
+      FROM blocked a JOIN blocked b
+        ON a.block = b.block AND a.vec_id < b.vec_id
+      WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+    )
+    SELECT CAST(e.vec_id AS BIGINT) AS vec_id
+    FROM e WHERE e.vec_id NOT IN (SELECT vec_id FROM drops)
+    """,
+    doc="SemDeDup-style embedding dedup: within-block cosine pairs "
+        "(per-block BLAS Gram) -> greedy keep-lowest-id rule -> kept "
+        "vector ids. The published recipe's k-means clusters become "
+        "the deterministic sign-LSH block, so the whole pipeline is "
+        "engine-replayable and oracle-checked.",
+    tags=("similarity", "dedup", "embedding", "semdedup"),
+)
+def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
+    return S.semantic_dedup_keep(emb, threshold=0.35, block_bits=4)
+
+
+@register(
     "embedding_neardup_exact",
     oracle=_NEARDUP_BASE + """
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
