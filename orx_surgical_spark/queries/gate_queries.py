@@ -188,6 +188,42 @@ def sketch_error_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "hll_union_bands",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_shards,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS merged_err_ok
+    FROM events GROUP BY event_type
+    """,
+    doc="Quality gate over hll_shard_union: the per-type shard count "
+        "must EXACTLY match the oracle's distinct-day count (the merge "
+        "saw every shard), and the merged HLL estimate must sit within "
+        "15% relative error of the exact distinct-user count "
+        "(DataSketches lgConfigK=12 => ~1.6% rse; worst measured well "
+        "under the band).",
+    tags=("sketch", "gate"),
+)
+def hll_union_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sk = REGISTRY["hll_shard_union"].fn(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    j = sk.join(exact, "event_type")
+    ok = (
+        F.abs(F.col("merged_users") - F.col("exact_users"))
+        / F.col("exact_users")
+    ) <= _USERS_REL_ERR
+    return j.select(
+        "event_type",
+        F.col("n_shards").cast("bigint"),
+        F.col("exact_users").cast("bigint"),
+        ok.alias("merged_err_ok"),
+    )
+
+
 def _register_gates() -> None:
     for name, raw, method, floor in (
         ("ann_ivf_recall", "ann_ivf_topk", "ivf_kmeans", _IVF_FLOOR),

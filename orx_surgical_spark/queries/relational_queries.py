@@ -925,6 +925,31 @@ def sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hll_shard_union",
+    oracle=None,  # sketch binaries are engine-internal -> covered by the
+    # hll_union_bands gate (exact shard counts + error-band booleans)
+    doc="Mergeable-sketch shard pattern (Apache DataSketches HLL via "
+        "hll_sketch_agg): build one user_id sketch per (event_type, "
+        "day) shard, then hll_union_agg the BINARIES to per-type "
+        "estimates — re-aggregation without rescanning the fact table, "
+        "the way 100 TB cardinality rollups are actually maintained "
+        "(approx_count_distinct cannot merge across a saved boundary; "
+        "sketch columns can be persisted per-partition and unioned "
+        "later at any grouping).",
+    tags=("sketch", "D3"),
+)
+def hll_shard_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    shards = ev.groupBy(
+        "event_type", F.to_date("ts").alias("__shard")
+    ).agg(F.hll_sketch_agg("user_id").alias("__sk"))
+    return shards.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shards"),
+        F.hll_sketch_estimate(F.hll_union_agg("__sk")).alias("merged_users"),
+    )
+
+
+@register(
     "dedup_apply",
     oracle="""
     SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id
