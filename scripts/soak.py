@@ -146,8 +146,54 @@ def main() -> int:
             results[name] = {"err": traceback.format_exc()[-300:]}
             print(f"[soak] {i:2d}/{len(qs)} {name}: FAILED", flush=True)
 
-    # Bench headliners again at max accumulated session state.
+    # Quality-gate verification: the exposed loop above only proves the
+    # queries RUN at this scale; the gate/golden wrappers carry boolean
+    # verdict columns (recall floors, sketch error bands, frozen-row
+    # drift) that the driver hash-checks at the graded SFs but nothing
+    # checked at soak scale — exactly the "drift check is a no-op where
+    # the soak runs" hole VERDICT r6 item 6 flagged for goldens. Run
+    # every gate/golden registry entry directly and fail the soak if
+    # any boolean column carries a single false.
+    from pyspark.sql import functions as F
+
     from orx_surgical_spark.queries.catalog import REGISTRY
+
+    gatelike = sorted(
+        n for n, q in REGISTRY.items()
+        if "gate" in q.tags or "golden" in q.tags
+    )
+    for name in gatelike:
+        t = time.monotonic()
+        try:
+            df = REGISTRY[name].fn(spark, args.sf_dir)
+            bool_cols = [c for c, ty in df.dtypes if ty == "boolean"]
+            if not bool_cols:
+                continue
+            n_bad = df.filter(
+                ~F.expr(" AND ".join(f"`{c}`" for c in bool_cols))
+            ).count()
+            results[f"gate/{name}"] = {
+                "bool_cols": bool_cols,
+                "violations": n_bad,
+                "s": round(time.monotonic() - t, 2),
+            }
+            if n_bad:
+                failures.append(f"gate/{name}")
+                print(
+                    f"[soak] gate/{name}: {n_bad} FALSE rows in "
+                    f"{bool_cols}", flush=True,
+                )
+            else:
+                print(
+                    f"[soak] gate/{name}: ok {bool_cols} "
+                    f"({time.monotonic() - t:.1f}s)", flush=True,
+                )
+        except Exception:
+            traceback.print_exc()
+            failures.append(f"gate/{name}")
+            results[f"gate/{name}"] = {"err": traceback.format_exc()[-300:]}
+
+    # Bench headliners again at max accumulated session state.
 
     headliners = sorted(n for n, q in REGISTRY.items() if q.bench)
     for name in headliners:
