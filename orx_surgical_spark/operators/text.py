@@ -568,3 +568,81 @@ def strip_source_boilerplate(
         F.size("__out").cast("int").alias("n_tokens_out"),
         F.md5(F.array_join("__out", " ")).alias("cleaned_md5"),
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 15,
+) -> DataFrame:
+    """BM25 ranked retrieval: score every document against a bag of
+    query terms and return the top ``k`` — the sparse-retrieval
+    counterpart of the dense ANN tier (`operators/similarity.py`), and
+    the ranking function behind Lucene/Elasticsearch-style search over
+    a training corpus (Robertson & Zaragoza 2009; idf is the Lucene
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))`` form, always positive).
+
+    Shape at scale: the corpus is tokenized ONCE, map-side; the
+    explode is filtered to the query terms BEFORE the shuffle, so the
+    posting lists that reach the tf aggregation are |query_terms| *
+    matching-docs rows, not the full token stream. Document length
+    rides along with the explode (no second scan / no doc-length
+    join); df is a |query_terms|-row aggregate joined back by
+    broadcast; N and avgdl are one scalar aggregate. The final top-k
+    is orderBy+limit => TakeOrderedAndProject (per-partition heaps +
+    driver merge), never a global sort.
+
+    Determinism across engines: each per-(doc, term) score is rounded
+    to integer MICRO-points (``round(score * 1e6) -> bigint``) before
+    the per-doc sum, so the aggregation is exact integer addition —
+    immune to float summation order — and the ranking key
+    (score_micros DESC, id) is totally ordered. The reported ``bm25``
+    double is derived from the micros after the sum.
+    """
+    toks = F.filter(tokens(text_col), lambda t: t != F.lit(""))
+    base = df.select(id_col, toks.alias("__toks"))
+    n_docs, avgdl = base.agg(
+        F.count(F.lit(1)), F.avg(F.size("__toks"))
+    ).first()
+    tf = (
+        base.select(
+            id_col,
+            F.size("__toks").alias("__dl"),
+            F.explode("__toks").alias("__term"),
+        )
+        .where(F.col("__term").isin(list(query_terms)))
+        .groupBy(id_col, "__term")
+        .agg(F.count(F.lit(1)).alias("__tf"), F.max("__dl").alias("__dl"))
+    )
+    dfreq = tf.groupBy("__term").agg(F.count(F.lit(1)).alias("__df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("__df") + F.lit(0.5))
+        / (F.col("__df") + F.lit(0.5))
+    )
+    denom = F.col("__tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / F.lit(float(avgdl))
+    )
+    micros = F.round(
+        idf * (F.col("__tf") * F.lit(k1 + 1.0)) / denom * F.lit(1e6)
+    ).cast("bigint")
+    return (
+        tf.join(F.broadcast(dfreq), "__term")
+        .select(id_col, micros.alias("__micros"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("__micros").alias("score_micros"),
+            F.count(F.lit(1)).cast("int").alias("n_terms"),
+        )
+        .orderBy(F.desc("score_micros"), F.asc(id_col))
+        .limit(k)
+        .select(
+            id_col,
+            "n_terms",
+            F.round(F.col("score_micros") / F.lit(1e6), 6).alias("bm25"),
+        )
+    )

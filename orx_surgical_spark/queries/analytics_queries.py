@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from orx_surgical_spark.operators import text as T
 from orx_surgical_spark.queries.catalog import register
 from orx_surgical_spark.sources import load_table
 
@@ -229,6 +230,56 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_tf"), F.asc("term"))
         .limit(25)
     )
+
+
+#: Fixed retrieval query for the BM25 ranker — terms from the synthetic
+#: corpus vocabulary, shared verbatim by the Spark plan and the oracle.
+_BM25_TERMS = ("spark", "merge", "window")
+
+
+@register(
+    "bm25_topk_docs",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, list_filter({_TOKS}, t -> t <> '') AS toks
+      FROM documents
+    ), corpus AS (
+      SELECT COUNT(*) AS n_docs, AVG(len(toks)) AS avgdl FROM base
+    ), tf AS (
+      SELECT doc_id, dl, term, COUNT(*) AS tf
+      FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM base)
+      WHERE term IN {_BM25_TERMS!r}
+      GROUP BY doc_id, dl, term
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), scored AS (
+      SELECT tf.doc_id,
+             CAST(ROUND(
+               LN(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / c.avgdl))
+               * 1000000.0) AS BIGINT) AS micros
+      FROM tf JOIN dfreq d USING (term), corpus c
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(COUNT(*) AS INT) AS n_terms,
+           ROUND(SUM(micros) / 1000000.0, 6) AS bm25
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY SUM(micros) DESC, doc_id
+    LIMIT 15
+    """,
+    doc="BM25 ranked retrieval (Lucene idf form) for a fixed bag of "
+        "query terms: tokenize once, filter the explode to the query "
+        "terms BEFORE the tf shuffle, broadcast the |terms|-row df "
+        "table back, TakeOrderedAndProject top-15. Per-(doc,term) "
+        "scores are rounded to integer micro-points before the per-doc "
+        "sum, so the ranking key is exact integer math — immune to "
+        "float summation order in either engine.",
+    tags=("text", "bm25", "retrieval"),
+)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.bm25_topk(docs, _BM25_TERMS, k1=1.2, b=0.75, k=15)
 
 
 @register(

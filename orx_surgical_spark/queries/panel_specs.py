@@ -2,7 +2,7 @@
 
 The grading driver's correctness gate checks at most ~50 queries per
 round (round 1 recorded exactly the first 50 catalog names
-alphabetically), while the full registry declares 184 fine-grained
+alphabetically), while the full registry declares 185 fine-grained
 entries. To get EVERY SURVEY §2 operator a driver-green row, the
 driver-facing surface (``__spark_entry__.queries()``) exposes:
 
@@ -15,7 +15,7 @@ driver-facing surface (``__spark_entry__.queries()``) exposes:
   oracle applies the identical serialization to each member's oracle
   SQL.
 
-The internal registry keeps all 184 fine-grained entries: tests and
+The internal registry keeps all 185 fine-grained entries: tests and
 ``bench.py`` keep their per-operator resolution.
 
 Exception: the two quadratic exact baselines in ``REGISTRY_INTERNAL``
@@ -178,6 +178,7 @@ ORACLE_PANELS: dict[str, tuple[str, ...]] = {
     "panel_text_fingerprint": (
         "winnowing_fingerprints",
         "tfidf_top_terms",
+        "bm25_topk_docs",  # r7: sparse BM25 retrieval (dense tier's dual)
         "simhash_docs",
         "ngram_jaccard_blocked",
         "fuzzy_type_pairs",
