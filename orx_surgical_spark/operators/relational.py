@@ -354,3 +354,53 @@ def salted_join(
     )
     out = salted_fact.join(replicated, on=[on, "__salt"], how=how)
     return out.drop("__salt")
+
+
+def skew_key_report(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 10,
+    target_rows_per_task: int = 2048,
+) -> DataFrame:
+    """Join-key skew profiler: the diagnostic you run BEFORE deciding
+    whether a 100 TB join needs :func:`salted_join`. Emits the
+    ``top_k`` hottest keys with their exact count, share of all rows,
+    skew ratio (count / mean-per-key), and the salt fan-out that would
+    bound each key's bucket at ``target_rows_per_task`` rows.
+
+    Shape at scale: one map-side-combined count aggregate produces the
+    |keys|-row count table; it is referenced twice (global stats + the
+    top-k), so it is lazily ``localCheckpoint``-ed (DISK_ONLY, fires on
+    first action) instead of re-shuffling the corpus. The global stats
+    are a one-row aggregate collected to the driver; the top-k is
+    orderBy+limit => TakeOrderedAndProject, never a global sort.
+
+    Determinism: counts are exact integers; the ranking key
+    (cnt DESC, key ASC) is total; ``target_rows_per_task`` defaults to
+    a power of two so ``cnt / target`` divides exactly in binary and
+    ``ceil`` has no float-boundary ambiguity.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    counts = (
+        df.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+    )
+    n_keys, n_rows = counts.agg(
+        F.count(F.lit(1)), F.sum("cnt").cast("bigint")
+    ).first()
+    mean_per_key = n_rows / n_keys
+    return (
+        counts.orderBy(F.desc("cnt"), F.asc(key_col))
+        .limit(top_k)
+        .select(
+            key_col,
+            "cnt",
+            F.round(F.col("cnt") / F.lit(float(n_rows)), 6).alias("share"),
+            F.round(F.col("cnt") / F.lit(mean_per_key), 4).alias("skew_ratio"),
+            F.ceil(F.col("cnt") / F.lit(float(target_rows_per_task)))
+            .cast("int")
+            .alias("n_salts"),
+        )
+    )

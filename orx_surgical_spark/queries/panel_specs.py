@@ -2,7 +2,7 @@
 
 The grading driver's correctness gate checks at most ~50 queries per
 round (round 1 recorded exactly the first 50 catalog names
-alphabetically), while the full registry declares 185 fine-grained
+alphabetically), while the full registry declares 187 fine-grained
 entries. To get EVERY SURVEY §2 operator a driver-green row, the
 driver-facing surface (``__spark_entry__.queries()``) exposes:
 
@@ -15,7 +15,7 @@ driver-facing surface (``__spark_entry__.queries()``) exposes:
   oracle applies the identical serialization to each member's oracle
   SQL.
 
-The internal registry keeps all 185 fine-grained entries: tests and
+The internal registry keeps all 187 fine-grained entries: tests and
 ``bench.py`` keep their per-operator resolution.
 
 Exception: the two quadratic exact baselines in ``REGISTRY_INTERNAL``
@@ -74,6 +74,7 @@ ORACLE_PANELS: dict[str, tuple[str, ...]] = {
         "anti_join_no_orders",
         "lookup_join_default",
         "distinct_segments",
+        "salted_join_segments",  # r7: skew-safe salt, oracle = plain join
     ),
     "panel_relational_group": (
         "group_max_wide",
@@ -146,6 +147,7 @@ ORACLE_PANELS: dict[str, tuple[str, ...]] = {
         "quantiles_by_segment",
         "grouped_mad_outliers",
         "value_histogram",
+        "skew_key_report",  # r7: hot-key profiler (salting pre-flight)
     ),
     "panel_quality": (
         "dq_orders_report",

@@ -1190,3 +1190,75 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
     )
     return out.withColumn("value", F.round("value", 6))
+
+
+@register(
+    "skew_key_report",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+    ), tot AS (
+      SELECT COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS n_rows
+      FROM counts
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(cnt AS BIGINT) AS cnt,
+           ROUND(cnt / (t.n_rows * 1.0), 6) AS share,
+           ROUND(cnt / (t.n_rows * 1.0 / t.n_keys), 4) AS skew_ratio,
+           CAST(CEIL(cnt / 2048.0) AS INT) AS n_salts
+    FROM counts, tot t
+    ORDER BY cnt DESC, user_id
+    LIMIT 10
+    """,
+    doc="Join-key skew profiler (the pre-flight check for salting a "
+        "100 TB join): top-10 hottest events.user_id keys with exact "
+        "count, row share, skew ratio vs the per-key mean, and the "
+        "salt fan-out bounding each bucket at 2048 rows (power of two "
+        "=> the ceil has no float-boundary ambiguity). One map-side "
+        "count aggregate, lazily checkpointed for its two consumers; "
+        "top-k via TakeOrderedAndProject.",
+    tags=("skew", "profiling", "D5"),
+)
+def skew_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return R.skew_key_report(ev, "user_id", top_k=10, target_rows_per_task=2048)
+
+
+@register(
+    "salted_join_segments",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+           ROUND(CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT)
+                 / 100.0, 2) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY segment
+    """,
+    doc="Skew-safe salted equi-join, oracle-proved semantics-preserving: "
+        "the fact side is salted into 8 random buckets and the dim side "
+        "replicated across them (operators/relational.py:salted_join), "
+        "yet the aggregate equals the PLAIN join the oracle runs — the "
+        "salt is join-internal and cannot change results, which is the "
+        "whole point of the technique. Values sum as exact integer "
+        "cents so the hash is immune to float summation order.",
+    tags=("skew", "join", "C1"),
+)
+def salted_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.round(F.col("value") * 100).cast("bigint").alias("__cents")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = R.salted_join(ev, cust, on="user_id", n_salts=8)
+    return (
+        joined.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("__cents") / F.lit(100.0), 2).alias("total_value"),
+        )
+        .orderBy("segment")
+    )
