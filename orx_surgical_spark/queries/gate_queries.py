@@ -270,3 +270,68 @@ def _register_gates() -> None:
 
 
 _register_gates()
+
+
+@register(
+    "heavy_hitters_mg",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+      FROM documents
+    ), ex AS (
+      SELECT term, COUNT(*) AS exact_cnt FROM tok
+      WHERE term <> '' GROUP BY term
+    )
+    SELECT term, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+           TRUE AS no_overcount, TRUE AS underest_within_slack
+    FROM ex ORDER BY exact_cnt DESC, term LIMIT 10
+    """,
+    doc="Quality gate over the mergeable Misra-Gries heavy-hitters "
+        "sketch (operators/sketches.py): for the top-10 exact corpus "
+        "tokens, the summed counter never exceeds the exact count and "
+        "undershoots it by at most the summed per-partition eviction "
+        "slack — the MG guarantee, which holds for ANY partitioning, "
+        "so the booleans are deterministic even though the sketch "
+        "contents are not. k=8 counters against a ~35-term vocabulary "
+        "forces real evictions (slack > 0) at every SF.",
+    tags=("sketch", "gate"),
+)
+def heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
+    from orx_surgical_spark.operators import sketches as SK
+    from orx_surgical_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("term")).where(
+        F.col("term") != ""
+    )
+    # Referenced twice (slack total + per-key estimates): checkpoint
+    # the <= (k+1)*n_partitions summary rows, not the token stream.
+    sk = SK.mg_heavy_hitters(toks, "term", k=8).localCheckpoint(
+        eager=False, storageLevel=StorageLevel.DISK_ONLY
+    )
+    total_slack = sk.agg(F.sum("slack")).first()[0]
+    ests = (
+        sk.where(F.col("term").isNotNull())
+        .groupBy("term")
+        .agg(F.sum("est").alias("est"))
+    )
+    # The gate needs ground truth; production consumers use the sketch
+    # alone. Exact top-10 is the deterministic row-set selector.
+    exact = toks.groupBy("term").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    top = exact.orderBy(F.desc("exact_cnt"), F.asc("term")).limit(10)
+    return (
+        top.join(F.broadcast(ests), "term", "left")
+        .na.fill({"est": 0})
+        .select(
+            "term",
+            F.col("exact_cnt").cast("bigint").alias("exact_cnt"),
+            (F.col("est") <= F.col("exact_cnt")).alias("no_overcount"),
+            (
+                (F.col("exact_cnt") - F.col("est"))
+                <= F.lit(int(total_slack))
+            ).alias("underest_within_slack"),
+        )
+        .orderBy(F.desc("exact_cnt"), F.asc("term"))
+    )
