@@ -509,3 +509,121 @@ def quantize_int8(df, vec_col: str = "embedding", id_col: str = "vec_id",
         q_out,
         F.round(F.sqrt(mse), 6).alias("rmse"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sparse random projection (Achlioptas / Johnson-Lindenstrauss)
+# ---------------------------------------------------------------------------
+
+#: Seed string for the shared projection matrix — versioned so a future
+#: matrix change is an explicit new operator, not silent drift.
+RP_SEED = "orx-rp-v1"
+
+
+def rp_matrix(in_dim: int, out_dim: int, seed: str = RP_SEED) -> list[list[int]]:
+    """Deterministic Achlioptas sparse sign matrix: entry (j, d) is
+    +1 w.p. 1/6, -1 w.p. 1/6, 0 w.p. 2/3, drawn from the first byte of
+    ``md5(seed:j:d)`` — plain hashlib, no RNG state, so the Spark plan
+    and the DuckDB oracle are generated from the *same* Python constant
+    and cannot disagree. The matrix is a model parameter: at 64x16 it
+    is ~1 KB of literals folded into the plan (the broadcast degenerate
+    case), never a table."""
+    import hashlib
+
+    m = []
+    for j in range(in_dim):
+        row = []
+        for d in range(out_dim):
+            b = hashlib.md5(f"{seed}:{j}:{d}".encode()).digest()[0] % 6
+            row.append(1 if b == 0 else (-1 if b == 1 else 0))
+        m.append(row)
+    return m
+
+
+def random_projection(
+    df: DataFrame,
+    in_dim: int,
+    out_dim: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: str = RP_SEED,
+) -> DataFrame:
+    """Project ``vec_col`` (array<float>, ``in_dim`` wide) to
+    ``out_dim`` dimensions with the Achlioptas sparse sign matrix —
+    the JL-lemma dimensionality reduction that makes downstream ANN /
+    clustering cheaper at 100 TB. Map-only: each output dimension is a
+    codegen sum of the ~in_dim/3 nonzero +/-1 terms (ascending input
+    index, so float addition order is pinned), scaled by
+    ``sqrt(3/out_dim)``; no shuffle, no UDF, no Python on the data
+    path.
+
+    Output is canonicalized engine-independently: each component is
+    rounded to integer MICRO-units (``round(x * 1e6) -> bigint``) and
+    the row carries the comma-joined micro CSV plus the projected L2
+    norm recomputed FROM the integer micros — integer formatting and
+    integer-sourced math are identical across engines, sidestepping
+    double->varchar formatting divergence entirely.
+    """
+    import math
+
+    m = rp_matrix(in_dim, out_dim, seed)
+    scale = math.sqrt(3.0 / out_dim)
+    micros = []
+    for d in range(out_dim):
+        s = F.lit(0.0)
+        for j in range(in_dim):
+            if m[j][d] == 1:
+                s = s + F.element_at(vec_col, j + 1).cast("double")
+            elif m[j][d] == -1:
+                s = s - F.element_at(vec_col, j + 1).cast("double")
+        micros.append(
+            F.round(F.lit(scale) * s * F.lit(1e6)).cast("bigint").alias(f"m{d}")
+        )
+    proj = df.select(id_col, *micros)
+    sq_sum = None
+    for d in range(out_dim):
+        t = F.col(f"m{d}") * F.col(f"m{d}")
+        sq_sum = t if sq_sum is None else sq_sum + t
+    return proj.select(
+        id_col,
+        F.concat_ws(
+            ",", *[F.col(f"m{d}").cast("string") for d in range(out_dim)]
+        ).alias("proj_micros_csv"),
+        F.round(F.sqrt(sq_sum.cast("double")) / F.lit(1e6), 6).alias(
+            "proj_norm"
+        ),
+    )
+
+
+def rp_oracle_sql(in_dim: int, out_dim: int = 16, seed: str = RP_SEED) -> str:
+    """DuckDB replay of :func:`random_projection`, generated from the
+    same matrix constant with the same term order and literals."""
+    import math
+
+    m = rp_matrix(in_dim, out_dim, seed)
+    scale = math.sqrt(3.0 / out_dim)
+    cols = []
+    for d in range(out_dim):
+        terms = "0.0"
+        for j in range(in_dim):
+            if m[j][d] == 1:
+                terms += f" + CAST(embedding[{j + 1}] AS DOUBLE)"
+            elif m[j][d] == -1:
+                terms += f" - CAST(embedding[{j + 1}] AS DOUBLE)"
+        cols.append(
+            f"CAST(ROUND({scale!r} * ({terms}) * 1000000.0) AS BIGINT) AS m{d}"
+        )
+    micro_cols = ",\n             ".join(cols)
+    csv = " || ',' || ".join(f"CAST(m{d} AS VARCHAR)" for d in range(out_dim))
+    sq = " + ".join(f"m{d} * m{d}" for d in range(out_dim))
+    return f"""
+    WITH proj AS (
+      SELECT vec_id,
+             {micro_cols}
+      FROM embeddings
+    )
+    SELECT vec_id,
+           {csv} AS proj_micros_csv,
+           ROUND(SQRT(CAST({sq} AS DOUBLE)) / 1000000.0, 6) AS proj_norm
+    FROM proj
+    """

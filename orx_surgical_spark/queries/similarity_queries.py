@@ -239,3 +239,22 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.quantize_int8(emb, "embedding", "vec_id", serialize_q=True)
+
+
+@register(
+    "random_projection_embed",
+    oracle=S.rp_oracle_sql(64, 16),
+    doc="Achlioptas sparse random projection (JL dimensionality "
+        "reduction, 64 -> 16): each output dim is a codegen sum of "
+        "~in_dim/3 sign terms in pinned ascending order, scaled by "
+        "sqrt(3/out_dim); map-only, no shuffle, no Python. The matrix "
+        "is derived from md5(seed:j:d) in plain hashlib, so the Spark "
+        "plan and the DuckDB oracle are generated from the SAME Python "
+        "constant. Components canonicalize to integer micro-units and "
+        "the norm is recomputed from the micros, so the value hash is "
+        "engine-exact.",
+    tags=("similarity", "embedding", "projection"),
+)
+def random_projection_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
+    return S.random_projection(emb, in_dim=64, out_dim=16)

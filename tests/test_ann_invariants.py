@@ -115,3 +115,37 @@ def test_gram_neardup_matches_expression_variant(spark, sf_dir):
     assert set(expr) == set(gram)
     for k in expr:
         assert abs(expr[k] - gram[k]) <= 2e-6, (k, expr[k], gram[k])
+
+
+def test_random_projection_jl_distortion(spark, sf_dir):
+    """JL sanity on the fixed matrix + fixed data (fully deterministic):
+    the Achlioptas projection is norm-unbiased in aggregate — the mean
+    squared-norm ratio over the corpus sits near 1 — and no single
+    vector's norm collapses or explodes beyond the loose k=16 band."""
+    from orx_surgical_spark.operators.similarity import random_projection
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    proj = random_projection(emb, in_dim=64, out_dim=16).toPandas()
+    orig = emb.toPandas()
+    orig["norm"] = orig.embedding.apply(
+        lambda v: float(np.sqrt(np.sum(np.asarray(v, dtype=np.float64) ** 2)))
+    )
+    j = proj.merge(orig[["vec_id", "norm"]], on="vec_id")
+    ratio = (j.proj_norm / j.norm) ** 2
+    assert 0.8 < ratio.mean() < 1.2, ratio.mean()
+    # k=16 gives ~1/sqrt(16)=25% typical distortion; 4-sigma-ish band.
+    assert ratio.min() > 0.05 and ratio.max() < 4.0, (
+        ratio.min(), ratio.max(),
+    )
+
+
+def test_random_projection_matrix_sparsity():
+    """The Achlioptas matrix construction: entries in {-1,0,1} with
+    roughly 1/3 nonzero (binomial band for 1024 draws)."""
+    from orx_surgical_spark.operators.similarity import rp_matrix
+
+    m = rp_matrix(64, 16)
+    flat = [x for row in m for x in row]
+    assert set(flat) <= {-1, 0, 1}
+    nz = sum(1 for x in flat if x != 0)
+    assert 0.25 < nz / len(flat) < 0.42, nz / len(flat)
