@@ -255,3 +255,49 @@ def test_q20_no_cartesian_and_filter_pushdown(spark, sf_dir):
     # aggregate sees a filtered child, not the raw table.
     assert "year(l_shipdate" in plan or "l_shipdate" in plan
 
+
+
+def test_bm25_plan_shapes(spark, sf_dir):
+    """BM25 at scale: the explode stream is filtered to the query terms
+    BEFORE the tf shuffle, the df table joins back by broadcast, and
+    the top-k is TakeOrderedAndProject — never a global sort."""
+    df = REGISTRY["bm25_topk_docs"].fn(spark, sf_dir)
+    plan = plan_str(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the query-term filter prunes the exploded token stream BEFORE the
+    # tf aggregate: a Filter sits between Generate and the aggregate.
+    lines = plan.splitlines()
+    tree = [l for l in lines if "+-" in l or ":-" in l]
+    gen_rows = [i for i, l in enumerate(tree) if "Generate" in l]
+    assert gen_rows and all(
+        any("Filter" in tree[j] for j in range(max(0, i - 2), i))
+        for i in gen_rows
+    ), tree
+
+
+def test_skew_key_report_take_ordered_over_checkpoint(spark, sf_dir):
+    df = REGISTRY["skew_key_report"].fn(spark, sf_dir)
+    plan = plan_str(df)
+    assert "TakeOrderedAndProject" in plan
+    # the count aggregate ran ONCE (for the stats scalars) and the
+    # top-k reuses its checkpoint instead of re-shuffling the corpus
+    assert "Scan ExistingRDD" in plan
+    assert "Exchange" not in plan
+
+
+def test_random_projection_is_map_only(spark, sf_dir):
+    from orx_surgical_spark.operators.similarity import random_projection
+    from orx_surgical_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = plan_str(random_projection(emb, in_dim=64, out_dim=16))
+    assert "Exchange" not in plan  # pure projection: no shuffle, any scale
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_salted_join_broadcasts_replicated_dim(spark, sf_dir):
+    plan = plan_str(REGISTRY["salted_join_segments"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
