@@ -557,3 +557,61 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("valid_to").cast("string"), F.lit("9999-12-31"))
         .alias("valid_to"),
     )
+
+
+@register(
+    "doc_lang_triangles",
+    oracle="""
+    WITH e AS (
+      SELECT d1.doc_id AS a, d2.doc_id AS b
+      FROM documents d1
+      JOIN documents d2
+        ON (d2.doc_id = d1.doc_id + 1 OR d2.doc_id = d1.doc_id + 2)
+       AND d2.lang = d1.lang
+    ), deg AS (
+      SELECT n, COUNT(*) AS deg
+      FROM (SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e)
+      GROUP BY n
+    ), tri AS (
+      SELECT COUNT(*) AS t
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+      JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+    )
+    SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT t FROM tri) AS BIGINT) AS n_triangles,
+           CAST((SELECT SUM(deg * (deg - 1) // 2) FROM deg) AS BIGINT)
+             AS n_wedges,
+           ROUND(3.0 * (SELECT t FROM tri)
+                 / (SELECT SUM(deg * (deg - 1) // 2) FROM deg), 6)
+             AS global_clustering
+    """,
+    doc="Triangle census (degree-oriented node-iterator) of the "
+        "deterministic lang-affinity graph: consecutive and skip-one "
+        "doc_ids sharing a lang, so same-lang runs form stacked "
+        "triangles. Reports nodes/edges/triangles/wedges and the "
+        "global clustering coefficient 3T/wedges — the density "
+        "diagnostic that tells a dedup pipeline whether components are "
+        "clique-ish duplicate groups or chains that transitive closure "
+        "would over-merge. The orientation (deg, id) bounds wedge "
+        "fan-out at the hub, so the self-join survives skewed graphs; "
+        "the oracle counts the same triangles orientation-free.",
+    tags=("graph", "triangles"),
+)
+def doc_lang_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orx_surgical_spark.operators.graph import triangle_stats
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    right = docs.select(
+        F.col("doc_id").alias("dst"), F.col("lang").alias("lang2")
+    )
+    edges = docs.join(
+        right,
+        (
+            (right["dst"] == docs["doc_id"] + 1)
+            | (right["dst"] == docs["doc_id"] + 2)
+        )
+        & (docs["lang"] == right["lang2"]),
+    ).select(F.col("doc_id").alias("src"), "dst")
+    return triangle_stats(edges)

@@ -2,7 +2,7 @@
 
 The grading driver's correctness gate checks at most ~50 queries per
 round (round 1 recorded exactly the first 50 catalog names
-alphabetically), while the full registry declares 189 fine-grained
+alphabetically), while the full registry declares 190 fine-grained
 entries. To get EVERY SURVEY §2 operator a driver-green row, the
 driver-facing surface (``__spark_entry__.queries()``) exposes:
 
@@ -15,7 +15,7 @@ driver-facing surface (``__spark_entry__.queries()``) exposes:
   oracle applies the identical serialization to each member's oracle
   SQL.
 
-The internal registry keeps all 189 fine-grained entries: tests and
+The internal registry keeps all 190 fine-grained entries: tests and
 ``bench.py`` keep their per-operator resolution.
 
 Exception: the two quadratic exact baselines in ``REGISTRY_INTERNAL``
@@ -190,6 +190,7 @@ ORACLE_PANELS: dict[str, tuple[str, ...]] = {
         "minhash_bands",
         "lsh_verified_pairs",
         "doc_lang_components",
+        "doc_lang_triangles",  # r7: degree-oriented triangle census
         "paragraph_dedup_docs",  # r6: sub-document dedup + reassembly
         "incremental_dedup_decisions",  # r6: shard-vs-frozen-index mode
     ),

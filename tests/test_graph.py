@@ -81,3 +81,34 @@ def test_pagerank_matches_numpy_power_iteration(spark, pairs):
         assert got[v] == pytest.approx(want[v], abs=1e-12)
     # Probability mass is conserved (dangling redistribution included).
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_triangle_stats_known_graphs(spark):
+    """K4 has 4 triangles / 12 wedges (clustering 1.0); adding a
+    pendant vertex adds 3 wedges at the K4-side endpoint and no
+    triangle. Duplicate/reversed input edges must not double-count."""
+    from orx_surgical_spark.operators.graph import triangle_stats
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    noisy = k4 + [(b, a) for a, b in k4] + k4 + [(3, 9)]
+    df = spark.createDataFrame(noisy, ["src", "dst"])
+    row = triangle_stats(df).collect()[0]
+    assert row.n_nodes == 5
+    assert row.n_edges == 7
+    assert row.n_triangles == 4
+    # K4 wedges: 4 * C(3,2) = 12; vertex 3 now has degree 4 -> C(4,2)=6
+    # (+3), vertex 9 degree 1 -> 0. Total 15.
+    assert row.n_wedges == 15
+    assert row.global_clustering == round(12 / 15, 6)
+
+
+def test_triangle_stats_star_has_none(spark):
+    """A star (max-skew hub) has wedges but zero triangles — the
+    degree orientation keeps the hub as wedge tip, never fan-out."""
+    from orx_surgical_spark.operators.graph import triangle_stats
+
+    star = [(0, i) for i in range(1, 9)]
+    row = triangle_stats(spark.createDataFrame(star, ["src", "dst"])).collect()[0]
+    assert row.n_triangles == 0
+    assert row.n_wedges == 28  # C(8,2)
+    assert row.global_clustering == 0.0
