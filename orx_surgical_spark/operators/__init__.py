@@ -3,6 +3,7 @@ SURVEY §2 family (relational B/C/D, encoders E, dedup, similarity,
 text, multimodal, temporal joins, batched inference)."""
 
 from orx_surgical_spark.operators import (  # noqa: F401
+    clustering,
     dedup,
     encoders,
     graph,
@@ -15,6 +16,7 @@ from orx_surgical_spark.operators import (  # noqa: F401
 )
 
 __all__ = [
+    "clustering",
     "dedup",
     "encoders",
     "graph",

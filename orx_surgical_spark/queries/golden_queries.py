@@ -21,9 +21,10 @@ These wrappers close that gap with an *engine-vs-frozen-self* oracle
   driver's value hash — the failure mode the old rows-only check could
   never see.
 
-At scale factors with no frozen golden (soak at sf0.1/sf1), the
-wrapper degrades to the live rows with ``drift_ok = true`` — goldens
-exist exactly for the graded SFs (0.001 local parity, 0.01 driver).
+Goldens are frozen for every probed scale factor (sf0.001 local
+parity, 0.01 driver, 0.1 and 1 soak — VERDICT r6 item 6), so scale
+runs drift-check against frozen rows too; at any other SF the wrapper
+degrades to the live rows with ``drift_ok = true``.
 """
 
 from __future__ import annotations

@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from orx_surgical_spark.operators import clustering as CL
 from orx_surgical_spark.operators import similarity as S
 from orx_surgical_spark.queries.catalog import register
 from orx_surgical_spark.sources import load_table
@@ -258,3 +259,25 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 def random_projection_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
     return S.random_projection(emb, in_dim=64, out_dim=16)
+
+
+@register(
+    "kmeans_clusters",
+    oracle=CL.kmeans_oracle_sql(k=4, iters=3, dim=64),
+    doc="Engine-exact distributed Lloyd k-means (k=4, 3 iterations) "
+        "over the embedding corpus — no MLlib: integer micro-unit "
+        "arithmetic, lowest-id init, lowest-cid tie break, rounded-"
+        "mean updates, empty-cluster carry-over, all pinned so the "
+        "generated DuckDB oracle replays every iteration bit-for-bit "
+        "(operators/clustering.py has the determinism contract). Per "
+        "iteration: one map-only codegen assignment with the k "
+        "centroids compiled as literals + one partial-agg groupBy "
+        "emitting <= k rows per task; the final assignment plan is "
+        "map-only with zero shuffles. The hash therefore proves the "
+        "full iterative fit, not just a projection — the value-checked "
+        "dual of the gate-checked MLlib IVF tier.",
+    tags=("similarity", "clustering", "embedding"),
+)
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
+    return CL.kmeans_lloyd(emb, k=4, iters=3)
