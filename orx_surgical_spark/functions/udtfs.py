@@ -36,7 +36,17 @@ class PiiSpans:
     replicate that by dropping any match overlapping a span already
     claimed by an earlier pattern — e.g. the IPv4 lookalike inside an
     email-shaped match like ``a@1.2.3.4.com`` yields ONE email span,
-    exactly as the scrub redacts it once)."""
+    matching how the scrub redacts it once.
+
+    Parity caveat: this containment-overlap rule matches the scrub
+    exactly when a later-pattern match is contained in (or disjoint
+    from) an earlier span.  For a PARTIAL overlap, the scrub's
+    substitution leaves a residual fragment that a later pattern could
+    re-match against the substituted text, while the span view drops
+    the overlapping match outright — so parity is guaranteed for
+    containment overlaps only (the case the tests pin; the current
+    pattern set does not produce partial cross-pattern overlaps on
+    real-shaped inputs)."""
 
     def eval(self, text: str):
         if text is None:

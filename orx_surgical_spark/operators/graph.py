@@ -279,19 +279,23 @@ def triangle_stats(
         .alias("n_wedges"),
     ).first()
     spark = edges.sparkSession
-    cc = (
-        round(3.0 * n_tri / stats.n_wedges, 6) if stats.n_wedges else 0.0
+    # Empty edge set: SUM() is NULL — coalesce both counters to 0 so the
+    # summary row is well-typed instead of raising on int(None).
+    n_nodes = int(stats.n_nodes) if stats.n_nodes is not None else 0
+    n_wedges = int(stats.n_wedges) if stats.n_wedges is not None else 0
+    base = spark.createDataFrame(
+        [(n_nodes, int(n_edges), int(n_tri), n_wedges)],
+        "n_nodes bigint, n_edges bigint, n_triangles bigint, n_wedges bigint",
     )
-    return spark.createDataFrame(
-        [
-            (
-                int(stats.n_nodes),
-                int(n_edges),
-                int(n_tri),
-                int(stats.n_wedges),
-                float(cc),
-            )
-        ],
-        "n_nodes bigint, n_edges bigint, n_triangles bigint, "
-        "n_wedges bigint, global_clustering double",
+    # Round in-plan with F.round (HALF_UP, away from zero) so the value
+    # matches the DuckDB oracle's ROUND exactly — Python round() is
+    # half-to-even and can disagree at the 6th decimal.
+    return base.select(
+        "*",
+        F.when(
+            F.col("n_wedges") > 0,
+            F.round(F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("global_clustering"),
     )

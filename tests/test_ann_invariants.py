@@ -96,8 +96,11 @@ def test_ivf_index_save_load_same_results(spark, sf_dir, tmp_path):
 
 def test_gram_neardup_matches_expression_variant(spark, sf_dir):
     """The per-block BLAS Gram variant must produce exactly the pairs
-    of the expression variant (same blocking, same threshold, cos_sim
-    equal to 6 dp up to float reduction order)."""
+    of the expression variant, with IDENTICAL 6-dp-rounded cos_sim —
+    the driver value-hashes those rounded values against the DuckDB
+    oracle, so any divergence the hash gate would reject must fail
+    here too (true boundary flips from double reduction order would
+    need ~1e-9-scale luck at the 6th decimal; exact equality holds)."""
     from orx_surgical_spark.operators.similarity import (
         embedding_neardup_pairs,
         embedding_neardup_pairs_gram,
@@ -114,7 +117,7 @@ def test_gram_neardup_matches_expression_variant(spark, sf_dir):
     }
     assert set(expr) == set(gram)
     for k in expr:
-        assert abs(expr[k] - gram[k]) <= 2e-6, (k, expr[k], gram[k])
+        assert expr[k] == gram[k], (k, expr[k], gram[k])
 
 
 def test_random_projection_jl_distortion(spark, sf_dir):

@@ -111,3 +111,24 @@ def test_kmeans_final_plan_is_map_only(spark, sf_dir):
     )
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_kmeans_rejects_fewer_vectors_than_k(spark):
+    """n < k violates the smallest-k-ids init rule — must raise a
+    clear ValueError, not IndexError in the carry-over step."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="at least k=4"):
+        kmeans_lloyd(df, k=4, iters=1)
+
+
+def test_kmeans_rejects_empty_corpus(spark):
+    import pytest
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty"):
+        kmeans_lloyd(empty, k=2, iters=1)

@@ -112,3 +112,39 @@ def test_triangle_stats_star_has_none(spark):
     assert row.n_triangles == 0
     assert row.n_wedges == 28  # C(8,2)
     assert row.global_clustering == 0.0
+
+
+def test_triangle_stats_empty_edges(spark):
+    """Empty edge set: SUM(deg*(deg-1)/2) is NULL — the summary must
+    coalesce to an all-zero row, not raise."""
+    from orx_surgical_spark.operators.graph import triangle_stats
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    row = triangle_stats(empty).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles, row.n_wedges) == (
+        0, 0, 0, 0,
+    )
+    assert row.global_clustering == 0.0
+
+
+def test_triangle_rounding_matches_half_away(spark):
+    """The clustering coefficient is rounded IN-PLAN with F.round
+    (HALF_UP) so it matches the DuckDB oracle's ROUND; a graph whose
+    ratio lands exactly on a 5 at the 7th decimal would expose Python
+    round()'s half-to-even. 3*4/15 = 0.8 is exact here; the invariant
+    under test is that the value comes back as the plan's rounded
+    double, bit-equal to round-half-away."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from orx_surgical_spark.operators.graph import triangle_stats
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    row = triangle_stats(
+        spark.createDataFrame(k4, ["src", "dst"])
+    ).collect()[0]
+    expect = float(
+        Decimal(3.0 * row.n_triangles / row.n_wedges).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+    )
+    assert row.global_clustering == expect
