@@ -299,3 +299,99 @@ def triangle_stats(
         .otherwise(F.lit(0.0))
         .alias("global_clustering"),
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 2,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Bounded-round k-core peel of an undirected graph: drop nodes of
+    degree < ``k``, recompute degrees on the induced subgraph, repeat
+    ``rounds`` times. Returns one row per surviving node:
+    ``[node, core_deg, converged]`` where ``core_deg`` is the node's
+    degree inside the final subgraph and ``converged`` is true iff one
+    MORE round would remove nothing (i.e. the result IS the exact
+    k-core, not just a bounded-round approximation — the flag makes
+    the bounded semantics honest at any scale instead of silently
+    wrong past the round budget).
+
+    Why k-core next to connected components / triangles: a dedup
+    cluster that survives the 2-core is cycle-redundant (every member
+    is corroborated by >= 2 independent near-dup edges), while
+    tree-like chains — the shape transitive closure over-merges — peel
+    away entirely. The density screen between "component" (too loose)
+    and "clique" (too strict).
+
+    Scale shape per round: one degree aggregate (map-side combined) +
+    two LeftSemi joins against a node list that only ever SHRINKS —
+    no global structure, no windows. The edge set is localCheckpointed
+    each round so T rounds stay T plans, not one 2^T-deep lineage
+    (same precedent as :func:`connected_components`). Convergence for
+    locality-bounded graphs (e.g. the lang-affinity doc graph, where
+    cascades cannot cross run boundaries) is 2-3 rounds regardless of
+    corpus size; the flag reports if a pathological graph needs more.
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+        F.col("a") != F.col("b")
+    )
+    sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    e = sym.distinct().localCheckpoint(eager=True)
+
+    def degrees(ed: DataFrame) -> DataFrame:
+        return ed.groupBy(F.col("a").alias("node")).agg(
+            F.count(F.lit(1)).alias("deg")
+        )
+
+    for _ in range(rounds):
+        survivors = degrees(e).where(F.col("deg") >= k).select("node")
+        e = (
+            e.join(
+                survivors.select(F.col("node").alias("a")), "a", "leftsemi"
+            )
+            .join(
+                survivors.select(F.col("node").alias("b")), "b", "leftsemi"
+            )
+            .localCheckpoint(eager=True)
+        )
+    final = degrees(e)
+    # One probe round: converged iff no final node is under-degree.
+    n_under = final.where(F.col("deg") < k).count()
+    return final.select(
+        "node",
+        F.col("deg").alias("core_deg"),
+        F.lit(n_under == 0).alias("converged"),
+    )
+
+
+def kcore_oracle_sql(edges_cte: str, k: int = 2, rounds: int = 4) -> str:
+    """Generate the DuckDB oracle that replays :func:`kcore` with every
+    peel round unrolled as a CTE pair (same generated-oracle pattern
+    as ``clustering.kmeans_oracle_sql``) — so the hash check proves
+    the whole iterative peel plus the convergence probe, not just the
+    final projection. ``edges_cte`` must select a SYMMETRIC distinct
+    edge set as columns ``(a, b)``."""
+    parts = [f"WITH e0 AS ({edges_cte})"]
+    for t in range(1, rounds + 1):
+        prev = f"e{t - 1}"
+        parts.append(f"""
+    , v{t} AS (
+      SELECT a AS n FROM {prev} GROUP BY a HAVING COUNT(*) >= {k}
+    ), e{t} AS (
+      SELECT e.a, e.b FROM {prev} e
+      JOIN v{t} x ON x.n = e.a
+      JOIN v{t} y ON y.n = e.b
+    )""")
+    parts.append(f"""
+    , final AS (
+      SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS core_deg
+      FROM e{rounds} GROUP BY a
+    ), under AS (
+      SELECT COUNT(*) AS u FROM final WHERE core_deg < {k}
+    )
+    SELECT node, core_deg, (SELECT u FROM under) = 0 AS converged
+    FROM final
+    """)
+    return "".join(parts)

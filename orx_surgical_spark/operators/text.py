@@ -646,3 +646,59 @@ def bm25_topk(
             F.round(F.col("score_micros") / F.lit(1e6), 6).alias("bm25"),
         )
     )
+
+
+def phrase_hits(
+    df: DataFrame,
+    phrases: Sequence[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact multi-word phrase search over a positional posting list:
+    one row per probe phrase with ``[phrase, n_hits, n_docs]`` —
+    occurrence and document-frequency counts of the EXACT token
+    sequence (BM25 above is the bag-of-words ranker; this is its
+    order-sensitive complement, the primitive behind benchmark
+    decontamination by exact phrase and boilerplate-slogan tracking).
+
+    Shape at scale: the corpus is tokenized once into (doc, pos, tok)
+    postings FILTERED to the union of phrase vocabularies before any
+    shuffle — the posting volume that moves is per-probe-term document
+    frequency, not the token stream. A phrase of m words then needs
+    m-1 equi-joins on (doc, pos+i): each join keys on (doc_id, pos),
+    which is near-unique, so there is no skew; and the first word
+    anchors the chain, so rare-first phrase ordering by the caller
+    keeps intermediate results minimal. Zero-hit phrases still emit a
+    row (count 0) so the output schema is a total function of the
+    probe list.
+    """
+    toks = F.filter(tokens(text_col), lambda t: t != F.lit(""))
+    vocab = sorted({w for p in phrases for w in p.split()})
+    postings = (
+        df.select(F.col(id_col).alias("__doc"), toks.alias("__toks"))
+        .select("__doc", F.posexplode("__toks").alias("__pos", "__tok"))
+        .where(F.col("__tok").isin(vocab))
+    ).localCheckpoint(eager=False)
+    spark = df.sparkSession
+    out = None
+    for phrase in phrases:
+        words = phrase.split()
+        chain = postings.where(F.col("__tok") == words[0]).select(
+            "__doc", F.col("__pos").alias("__p0")
+        )
+        for i, w in enumerate(words[1:], start=1):
+            nxt = postings.where(F.col("__tok") == w).select(
+                F.col("__doc").alias("__d2"),
+                (F.col("__pos") - i).alias("__p2"),
+            )
+            chain = chain.join(
+                nxt,
+                (F.col("__doc") == F.col("__d2"))
+                & (F.col("__p0") == F.col("__p2")),
+            ).select("__doc", "__p0")
+        hits = chain.agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.count_distinct("__doc").alias("n_docs"),
+        ).select(F.lit(phrase).alias("phrase"), "n_hits", "n_docs")
+        out = hits if out is None else out.unionAll(hits)
+    return out

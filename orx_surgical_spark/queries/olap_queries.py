@@ -615,3 +615,62 @@ def doc_lang_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (docs["lang"] == right["lang2"]),
     ).select(F.col("doc_id").alias("src"), "dst")
     return triangle_stats(edges)
+
+
+_KCORE_EDGES_CTE = """
+      SELECT a, b FROM (
+        SELECT d1.doc_id AS a, d2.doc_id AS b
+        FROM documents d1
+        JOIN documents d2
+          ON (d2.doc_id = d1.doc_id + 1 OR d2.doc_id = d1.doc_id + 2)
+         AND d2.lang = d1.lang
+        UNION
+        SELECT d2.doc_id, d1.doc_id
+        FROM documents d1
+        JOIN documents d2
+          ON (d2.doc_id = d1.doc_id + 1 OR d2.doc_id = d1.doc_id + 2)
+         AND d2.lang = d1.lang
+      )
+"""
+
+
+def _kcore_oracle() -> str:
+    from orx_surgical_spark.operators.graph import kcore_oracle_sql
+
+    return kcore_oracle_sql(_KCORE_EDGES_CTE, k=2, rounds=4)
+
+
+@register(
+    "doc_graph_kcore",
+    oracle=_kcore_oracle(),
+    doc="Bounded-round 2-core peel of the lang-affinity doc graph "
+        "(same deterministic edge set as doc_lang_triangles): drop "
+        "degree-<2 nodes, recompute on the induced subgraph, 4 rounds, "
+        "plus a converged flag proving one more round would remove "
+        "nothing. The density screen between component (too loose) and "
+        "clique (too strict): 2-core members are cycle-corroborated "
+        "dedup candidates, chains peel away. The generated oracle "
+        "unrolls every peel round (kcore_oracle_sql), so the hash "
+        "covers the whole iteration. Per round: one map-side-combined "
+        "degree aggregate + two LeftSemi joins against a shrinking "
+        "node list — no windows, no global structure; cascades on this "
+        "graph cannot cross lang-run boundaries, so 4 rounds converge "
+        "at any scale factor.",
+    tags=("graph", "kcore"),
+)
+def doc_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orx_surgical_spark.operators.graph import kcore
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    right = docs.select(
+        F.col("doc_id").alias("dst"), F.col("lang").alias("lang2")
+    )
+    edges = docs.join(
+        right,
+        (
+            (right["dst"] == docs["doc_id"] + 1)
+            | (right["dst"] == docs["doc_id"] + 2)
+        )
+        & (docs["lang"] == right["lang2"]),
+    ).select(F.col("doc_id").alias("src"), "dst")
+    return kcore(edges, k=2, rounds=4)

@@ -206,3 +206,258 @@ def dq_orders_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         Q.in_range("o_totalprice", lo=0.0),
         Q.foreign_key("o_custkey", customer, "c_custkey"),
     )
+
+
+# -- Engine-exact sketch queries (cms / kmv) --------------------------------
+# DuckDB-side helpers: first n hex digits of an md5 column as a BIGINT
+# (the oracle half of the md5 hash family shared with
+# operators/sketches.py; same idiom as encoder_queries._H16).
+_HEXDIG = "(strpos('0123456789abcdef', substr({h}, {i}, 1)) - 1)"
+
+
+def _hex_int(h: str, n: int) -> str:
+    return " + ".join(
+        f"CAST({_HEXDIG.format(h=h, i=i + 1)} AS BIGINT) * {16 ** (n - 1 - i)}"
+        for i in range(n)
+    )
+
+
+_CMS_ORACLE = f"""
+    WITH ev AS (
+      SELECT CAST(user_id AS VARCHAR) AS k, user_id FROM events
+    ), cells AS (
+      SELECT j, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (
+        SELECT CAST(s.j AS INT) AS j,
+               CAST(({_hex_int('h', 4)}) % 64 AS INT) AS bucket
+        FROM (
+          SELECT k, t.j AS j,
+                 md5('cms' || CAST(t.j AS VARCHAR) || ':' || k) AS h
+          FROM ev, range(0, 4) t(j)
+        ) s
+      ) q
+      GROUP BY j, bucket
+    ), probes AS (
+      SELECT user_id FROM events GROUP BY user_id ORDER BY user_id LIMIT 10
+    ), pe AS (
+      SELECT user_id, CAST(j AS INT) AS j,
+             CAST(({_hex_int('h', 4)}) % 64 AS INT) AS bucket
+      FROM (
+        SELECT p.user_id, t.j,
+               md5('cms' || CAST(t.j AS VARCHAR) || ':'
+                   || CAST(p.user_id AS VARCHAR)) AS h
+        FROM probes p, range(0, 4) t(j)
+      )
+    ), est AS (
+      SELECT pe.user_id,
+             CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS e
+      FROM pe LEFT JOIN cells c ON c.j = pe.j AND c.bucket = pe.bucket
+      GROUP BY pe.user_id
+    ), exact AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS ex
+      FROM events GROUP BY user_id
+    )
+    SELECT p.user_id,
+           x.ex AS exact_cnt,
+           e.e AS cms_est,
+           e.e AS merged_est,
+           e.e >= x.ex AS over_ok,
+           TRUE AS merge_ok
+    FROM probes p
+    JOIN est e ON e.user_id = p.user_id
+    JOIN exact x ON x.user_id = p.user_id
+"""
+
+
+@register(
+    "cms_user_event_counts",
+    oracle=_CMS_ORACLE,
+    doc="Count-min sketch (depth 4 x width 64, md5 hash family) of "
+        "per-user event frequencies, probed at the 10 smallest user "
+        "ids: exact count vs sketch estimate vs shard-merged estimate. "
+        "Engine-exact — the sketch is a pure function of the key "
+        "multiset, so unlike the HLL band gate this is full value-hash "
+        "material. over_ok pins the one-sided error guarantee "
+        "(est >= exact, always); merge_ok pins mergeability: four "
+        "event-id-sharded sketches cell-summed must equal the direct "
+        "build (the oracle derives merged_est from the direct cells — "
+        "a Spark-side merge bug flips the boolean and breaks the "
+        "hash). Build shuffles at most depth*width rows per task "
+        "(map-side combine); estimation broadcasts the 256-cell grid.",
+    tags=("sketch", "cms"),
+)
+def cms_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orx_surgical_spark.operators import sketches as SK
+
+    ev = load_table(spark, sf_dir, "events")
+    probes = ev.select("user_id").distinct().orderBy("user_id").limit(10)
+    direct = SK.cms_build(ev, "user_id", depth=4, width=64)
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("event_id").cast("string").cast("binary")), 1, 4
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 4
+    ).alias("__shard")
+    sharded = SK.cms_build(
+        ev.select("user_id", shard), "user_id", depth=4, width=64,
+        shard_col="__shard",
+    )
+    merged = SK.cms_merge(sharded)
+    est = SK.cms_estimate(direct, probes, "user_id", depth=4, width=64,
+                          est_col="cms_est")
+    mest = SK.cms_estimate(merged, probes, "user_id", depth=4, width=64,
+                           est_col="merged_est")
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    return (
+        probes.join(exact, "user_id")
+        .join(est, "user_id")
+        .join(mest, "user_id")
+        .select(
+            "user_id",
+            "exact_cnt",
+            "cms_est",
+            "merged_est",
+            (F.col("cms_est") >= F.col("exact_cnt")).alias("over_ok"),
+            (F.col("cms_est") == F.col("merged_est")).alias("merge_ok"),
+        )
+    )
+
+
+_KMV_EST_LIT = 15 * (16**12)  # (k-1) * hash space, exact integer
+
+_KMV_ORACLE = f"""
+    WITH du AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ), h AS (
+      SELECT event_type, user_id,
+             md5(CAST(user_id AS VARCHAR)) AS h
+      FROM du
+    ), r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY h, user_id) AS rn
+      FROM h
+    ), bk AS (
+      SELECT * FROM r WHERE rn <= 16
+    ), per AS (
+      SELECT event_type, COUNT(*) AS n, MAX(h) AS hk,
+             STRING_AGG(CASE WHEN rn <= 8
+                             THEN CAST(user_id AS VARCHAR) END,
+                        ',' ORDER BY rn) AS sample_csv
+      FROM bk GROUP BY event_type
+    ), exact AS (
+      SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS ex
+      FROM events GROUP BY event_type
+    ), typed AS (
+      SELECT p.event_type, x.ex AS exact_distinct,
+             CASE WHEN p.n < 16 THEN CAST(p.n AS DOUBLE)
+                  ELSE ROUND({_KMV_EST_LIT} / ({_hex_int('hk', 12)}), 4)
+             END AS kmv_est,
+             p.sample_csv
+      FROM per p JOIN exact x ON x.event_type = p.event_type
+    ), gpool AS (
+      SELECT DISTINCT user_id, h FROM bk
+    ), gr AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY h, user_id) AS rn FROM gpool
+    ), gk AS (
+      SELECT * FROM gr WHERE rn <= 16
+    ), gagg AS (
+      SELECT COUNT(*) AS n, MAX(h) AS hk,
+             STRING_AGG(CASE WHEN rn <= 8
+                             THEN CAST(user_id AS VARCHAR) END,
+                        ',' ORDER BY rn) AS sample_csv
+      FROM gk
+    ), gexact AS (
+      SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS ex FROM events
+    )
+    SELECT * FROM typed
+    UNION ALL
+    SELECT '_ALL_' AS event_type, g2.ex AS exact_distinct,
+           CASE WHEN g.n < 16 THEN CAST(g.n AS DOUBLE)
+                ELSE ROUND({_KMV_EST_LIT} / ({_hex_int('hk', 12)}), 4)
+           END AS kmv_est,
+           g.sample_csv
+    FROM gagg g, gexact g2
+"""
+
+
+@register(
+    "kmv_distinct_users",
+    oracle=_KMV_ORACLE,
+    doc="KMV bottom-k sketch (k=16, md5 order) per event type: distinct-"
+        "user estimate, exact distinct for comparison, and the first 8 "
+        "sketch members as a deterministic uniform sample of the "
+        "distinct-user SET. The _ALL_ row is built ONLY from the five "
+        "per-type sketches (bottom-k of the union of bottom-ks) — the "
+        "mergeable-summaries property, value-hash-pinned because the "
+        "oracle computes the same global sketch from scratch. Exact "
+        "when a group holds < k keys; otherwise (k-1)*2^48/h48(kth), "
+        "every step integer-exact or shared-IEEE. Scale shape: one "
+        "distinct shuffle, then rank<=k planned as WindowGroupLimit "
+        "(map-side top-k per group); the global row touches only "
+        "5*k sketch rows via TakeOrderedAndProject, never the data.",
+    tags=("sketch", "kmv"),
+)
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orx_surgical_spark.operators import sketches as SK
+
+    ev = load_table(spark, sf_dir, "events")
+    k = 16
+    bk = SK.kmv_bottomk(ev, "event_type", "user_id", k=k)
+    est = SK.kmv_estimate(bk, k=k)
+
+    def sample_csv_agg():
+        ordered = F.array_sort(F.collect_list(F.struct("rn", "key")))
+        first8 = F.slice(ordered, 1, 8)
+        return F.array_join(
+            F.transform(first8, lambda s: s["key"].cast("string")), ","
+        ).alias("sample_csv")
+
+    samples = bk.groupBy("grp").agg(sample_csv_agg())
+    exact = ev.groupBy(F.col("event_type").alias("grp")).agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    typed = (
+        exact.join(est, "grp")
+        .join(samples, "grp")
+        .select(
+            F.col("grp").alias("event_type"),
+            "exact_distinct",
+            "kmv_est",
+            "sample_csv",
+        )
+    )
+    # Global row from the per-type sketches ONLY (mergeability): the
+    # pool is <= n_groups * k rows, so the top-k is
+    # TakeOrderedAndProject over sketch output, never a global window
+    # over data.
+    pool = bk.select("key", "h").distinct()
+    g16 = pool.orderBy("h", "key").limit(k)
+    gagg = g16.agg(
+        F.count(F.lit(1)).alias("n_in_sketch"),
+        F.max("h").alias("hk"),
+        F.array_join(
+            F.transform(
+                F.slice(
+                    F.array_sort(F.collect_list(F.struct("h", "key"))), 1, 8
+                ),
+                lambda s: s["key"].cast("string"),
+            ),
+            ",",
+        ).alias("sample_csv"),
+    )
+    h48 = F.conv(F.substring("hk", 1, 12), 16, 10).cast("bigint")
+    g_est = F.when(
+        F.col("n_in_sketch") < k, F.col("n_in_sketch").cast("double")
+    ).otherwise(F.round(F.lit(15 * SK.KMV_HASH_SPACE) / h48, 4))
+    g_exact = ev.agg(F.count_distinct("user_id").alias("exact_distinct"))
+    grow = gagg.crossJoin(g_exact).select(
+        F.lit("_ALL_").alias("event_type"),
+        "exact_distinct",
+        g_est.alias("kmv_est"),
+        "sample_csv",
+    )
+    return typed.unionAll(grow)

@@ -612,3 +612,67 @@ def source_boilerplate_stripped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.strip_source_boilerplate(
         enriched, prefix_tokens=7, min_frac=0.3
     )
+
+
+_PHRASES = (
+    "hash join",
+    "sort merge",
+    "big table",
+    "fast table",
+    "sort merge join",
+)
+
+
+def _phrase_oracle(phrases=_PHRASES) -> str:
+    """Per-phrase CTE chain over a positional posting list — the
+    DuckDB half of operators/text.phrase_hits (posexplode is 0-based,
+    generate_subscripts 1-based; only position DIFFERENCES matter, so
+    the engines agree)."""
+    parts = [f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest({_TOKS}) AS tok,
+             generate_subscripts({_TOKS}, 1) AS pos
+      FROM documents
+    )"""]
+    selects = []
+    for pi, phrase in enumerate(phrases):
+        words = phrase.split()
+        joins = []
+        for i, w in enumerate(words[1:], start=1):
+            joins.append(
+                f"JOIN toks t{i} ON t{i}.doc_id = t0.doc_id "
+                f"AND t{i}.pos = t0.pos + {i} AND t{i}.tok = '{w}'"
+            )
+        parts.append(f"""
+    , p{pi} AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_hits,
+             CAST(COUNT(DISTINCT t0.doc_id) AS BIGINT) AS n_docs
+      FROM toks t0 {' '.join(joins)}
+      WHERE t0.tok = '{words[0]}'
+    )""")
+        selects.append(
+            f"SELECT '{phrase}' AS phrase, n_hits, n_docs FROM p{pi}"
+        )
+    parts.append("\n    " + "\n    UNION ALL\n    ".join(selects))
+    return "".join(parts)
+
+
+@register(
+    "phrase_match_docs",
+    oracle=_phrase_oracle(),
+    doc="Exact phrase search over a positional inverted index: "
+        "occurrence and doc-frequency counts for five probe phrases "
+        "(incl. one three-word phrase and phrases with zero hits, so "
+        "the zero row shape is pinned). The order-sensitive complement "
+        "of bm25_topk — the primitive behind exact-phrase benchmark "
+        "decontamination and boilerplate-slogan tracking. Postings are "
+        "filtered to the probe vocabulary BEFORE any shuffle (only "
+        "probe-term document frequency moves); each extra phrase word "
+        "is one equi-join on the near-unique (doc, pos) key, so no "
+        "skew at any corpus size.",
+    tags=("text", "phrase"),
+)
+def phrase_match_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return X.phrase_hits(docs, list(_PHRASES))

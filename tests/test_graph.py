@@ -148,3 +148,43 @@ def test_triangle_rounding_matches_half_away(spark):
         )
     )
     assert row.global_clustering == expect
+
+
+def _kcore_df(spark, pairs, **kw):
+    from orx_surgical_spark.operators.graph import kcore
+
+    edges = spark.createDataFrame(pairs, ["src", "dst"])
+    return kcore(edges, **kw).collect()
+
+
+def test_kcore_peels_chain_keeps_triangle(spark):
+    """Triangle + pendant chain: the 2-core is exactly the triangle
+    (degree 2 inside), the chain peels end-in; converged."""
+    pairs = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4)]
+    rows = _kcore_df(spark, pairs, k=2, rounds=4)
+    assert {r.node for r in rows} == {0, 1, 2}
+    assert all(r.core_deg == 2 and r.converged for r in rows)
+
+
+def test_kcore_run_of_two_dissolves(spark):
+    """A single edge has no 2-core; output is empty (not an error)."""
+    assert _kcore_df(spark, [(7, 8)], k=2, rounds=2) == []
+
+
+def test_kcore_converged_flag_false_on_tight_budget(spark):
+    """A path of 8 nodes peels one node per end per round under k=2 —
+    with rounds=1 the remainder still has degree-1 ends, so the flag
+    must report non-convergence instead of claiming a 2-core."""
+    path = [(i, i + 1) for i in range(7)]
+    rows = _kcore_df(spark, path, k=2, rounds=1)
+    assert rows and not any(r.converged for r in rows)
+    # and with enough rounds the whole path dissolves, converged
+    assert _kcore_df(spark, path, k=2, rounds=4) == []
+
+
+def test_kcore_3core_of_k4_plus_tail(spark):
+    """K4 survives a 3-core; the tail and its attachment cascade off."""
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    rows = _kcore_df(spark, k4 + [(3, 9), (9, 10)], k=3, rounds=3)
+    assert {r.node for r in rows} == {0, 1, 2, 3}
+    assert all(r.core_deg == 3 and r.converged for r in rows)

@@ -301,3 +301,50 @@ def test_salted_join_broadcasts_replicated_dim(spark, sf_dir):
     plan = plan_str(REGISTRY["salted_join_segments"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_kmv_bottomk_uses_window_group_limit(spark, sf_dir):
+    """The rank<=k filter over the per-group md5 order must plan as
+    WindowGroupLimit (map-side top-k per group before the shuffle) —
+    the property that keeps the sketch build O(k) per task when a
+    group holds billions of distinct keys."""
+    from orx_surgical_spark.operators.sketches import kmv_bottomk
+
+    ev = load_table(spark, sf_dir, "events")
+    plan = plan_str(kmv_bottomk(ev, "event_type", "user_id", k=16))
+    assert "WindowGroupLimit" in plan
+
+
+def test_cms_probe_join_broadcasts_sketch(spark, sf_dir):
+    """Estimation must broadcast the (<= depth*width row) sketch, never
+    shuffle the probe side against it."""
+    df = REGISTRY["cms_user_event_counts"].fn(spark, sf_dir)
+    plan = plan_str(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kmv_global_row_take_ordered_not_global_window(spark, sf_dir):
+    """The _ALL_ merge row ranks only sketch output: the plan may use
+    per-group windows (WindowGroupLimit) but must not sort data through
+    a single-partition global Window."""
+    df = REGISTRY["kmv_distinct_users"].fn(spark, sf_dir)
+    plan = plan_str(df)
+    assert "TakeOrderedAndProject" in plan
+    # No unpartitioned Window: every windowspecdefinition must lead
+    # with the grp partition column (an unpartitioned spec starts
+    # straight at the ORDER BY sort spec).
+    specs = [
+        line for line in plan.splitlines() if "windowspecdefinition(" in line
+    ]
+    assert specs and all("windowspecdefinition(grp#" in s for s in specs), specs
+
+
+def test_phrase_match_filters_postings_before_join(spark, sf_dir):
+    """The posting list is trimmed to the probe vocabulary before the
+    position joins: a Filter must sit under the Generate consumers, and
+    the join chain must not degenerate to CartesianProduct."""
+    df = REGISTRY["phrase_match_docs"].fn(spark, sf_dir)
+    plan = plan_str(df)
+    assert "CartesianProduct" not in plan
+    assert "__tok" in plan  # vocabulary filter visible in the plan

@@ -126,3 +126,31 @@ def test_chunk_tokens_coverage_and_overlap(spark):
     for i in range(3):
         assert by_doc[1][i][-(W - S):] == by_doc[1][i + 1][: W - S]
     assert by_doc[2][0] == ["a", "b", "c"]
+
+
+def test_phrase_hits_counts_and_zero_rows(spark):
+    """Exact positional semantics: overlapping occurrences both count,
+    a 3-word phrase needs all offsets, a bag-of-words co-occurrence
+    without adjacency is NOT a hit, and absent phrases still emit a
+    0/0 row."""
+    from orx_surgical_spark.operators.text import phrase_hits
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a"),        # "a b" at pos 0 and 2 (overlap via shared a? no — occurrences at 0,2)
+            (2, "a b c d"),          # "a b c" once; "a b" once
+            (3, "b a c"),            # has all of a,b,c but no "a b"
+            (4, "x y z"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.phrase: (r.n_hits, r.n_docs)
+        for r in phrase_hits(
+            docs, ["a b", "a b c", "q z", "a"], id_col="doc_id"
+        ).collect()
+    }
+    assert out["a b"] == (3, 2)      # doc1 twice, doc2 once
+    assert out["a b c"] == (1, 1)    # doc2 only
+    assert out["q z"] == (0, 0)      # zero row present
+    assert out["a"] == (5, 3)        # single-word degenerate case

@@ -82,3 +82,96 @@ def test_mg_exact_when_vocab_fits(spark):
         if r.key is not None:
             est[r.key] = est.get(r.key, 0) + r.est
     assert est == {f"k{i}": i + 1 for i in range(5)}
+
+
+def test_cms_overestimates_and_merge_equals_direct(spark):
+    """CMS invariants on a skewed stream: (1) every estimate >= exact
+    count (one-sided error, a theorem, not a tolerance); (2) building
+    per-shard sketches and cell-summing them equals the direct build
+    cell-for-cell (mergeable-summaries contract), for an arbitrary
+    4-way shard assignment."""
+    from pyspark.sql import functions as F
+
+    from orx_surgical_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+
+    rows = [(f"k{i:02d}",) for i in range(50) for _ in range(500 // (i + 1))]
+    df = spark.createDataFrame(rows, ["key"]).repartition(4)
+    depth, width = 4, 32  # narrow grid => real collisions
+
+    direct = cms_build(df, "key", depth=depth, width=width)
+    sharded = cms_build(
+        df.withColumn("s", F.crc32(F.col("key")) % 4),
+        "key", depth=depth, width=width, shard_col="s",
+    )
+    merged = cms_merge(sharded)
+    assert sorted(map(tuple, direct.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+
+    probes = df.select("key").distinct()
+    est = {
+        r.key: r.est
+        for r in cms_estimate(direct, probes, "key",
+                              depth=depth, width=width).collect()
+    }
+    exact = {
+        r.key: r.cnt
+        for r in df.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert est.keys() == exact.keys()
+    for key in exact:
+        assert est[key] >= exact[key], (key, est[key], exact[key])
+
+
+def test_cms_unseen_key_estimates_from_collisions_only(spark):
+    """A key never inserted gets est = min over its 4 cells — with a
+    sparse stream and wide grid that minimum is 0."""
+    from orx_surgical_spark.operators.sketches import cms_build, cms_estimate
+
+    df = spark.createDataFrame([(f"x{i}",) for i in range(5)], ["key"])
+    sk = cms_build(df, "key", depth=4, width=256)
+    probes = spark.createDataFrame([("never-seen",)], ["key"])
+    [row] = cms_estimate(sk, probes, "key", depth=4, width=256).collect()
+    assert row.est == 0
+
+
+def test_kmv_merge_property_and_exact_small_groups(spark):
+    """bottom-k(union) == bottom-k(union of per-group bottom-ks) — the
+    merge theorem on real data; and a group with < k distinct keys
+    reads out its EXACT cardinality."""
+    from pyspark.sql import functions as F
+
+    from orx_surgical_spark.operators.sketches import (
+        kmv_bottomk,
+        kmv_estimate,
+    )
+
+    rows = [(f"g{i % 3}", i % 40) for i in range(600)] + [("tiny", 999)]
+    df = spark.createDataFrame(rows, ["grp", "key"])
+    k = 16
+    bk = kmv_bottomk(df, "grp", "key", k=k)
+
+    # merge theorem: global bottom-k from sketches == from raw keys
+    from_sketch = (
+        bk.select("key", "h").distinct().orderBy("h", "key").limit(k)
+    )
+    from_raw = (
+        df.select("key").distinct()
+        .withColumn("h", F.md5(F.col("key").cast("string").cast("binary")))
+        .orderBy("h", "key").limit(k)
+    )
+    assert sorted(map(tuple, from_sketch.collect())) == sorted(
+        map(tuple, from_raw.collect())
+    )
+
+    est = {r.grp: r.kmv_est for r in kmv_estimate(bk, k=k).collect()}
+    assert est["tiny"] == 1.0  # < k distinct => exact
+    # 40 distinct per g-group; estimator should land in a sane band
+    for g in ("g0", "g1", "g2"):
+        assert 10 <= est[g] <= 160, (g, est[g])
