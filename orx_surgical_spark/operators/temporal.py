@@ -171,3 +171,47 @@ def range_join_pairs(
             F.unix_timestamp("__ts_a") - F.unix_timestamp("__ts_b")
         ).alias("gap_seconds"),
     ).distinct()
+
+
+def merge_intervals(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Per-key union of half-open intervals ``[start, end)``: merge
+    every overlapping or touching pair into maximal disjoint periods —
+    the interval-union primitive behind uptime/active-time accounting,
+    coverage gap detection, and contiguous-span compaction (the batch
+    complement of the gap-based sessionizer, which merges by
+    inter-EVENT gaps; this merges by actual extents, so intervals of
+    heterogeneous lengths compose correctly).
+
+    Returns ``[key, period_start, period_end]``, one row per maximal
+    period. Classic sweep: within a key, order by (start, end); a row
+    opens a NEW period iff its start exceeds the running max of all
+    previous ends; the running flag-sum labels periods, then one
+    aggregate takes each period's extent.
+
+    Scale shape: both window passes share one (key)-partitioned sort —
+    Catalyst plans them over a single Exchange+Sort — and the closing
+    groupBy re-uses the same key, so the whole operator is ONE shuffle
+    of the interval table. No global windows; per-key data volume is
+    the only skew axis, same as any sessionizer.
+    """
+    s, e = F.col(start_col), F.col(end_col)
+    w = Window.partitionBy(key_col).orderBy(start_col, end_col)
+    prev_max_end = F.max(e).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    opens = F.when(prev_max_end.isNull() | (s > prev_max_end), 1).otherwise(0)
+    grp = F.sum(opens).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    labeled = df.select(
+        F.col(key_col), s.alias("__s"), e.alias("__e"), grp.alias("__grp")
+    )
+    return labeled.groupBy(key_col, "__grp").agg(
+        F.min("__s").alias("period_start"),
+        F.max("__e").alias("period_end"),
+    ).drop("__grp")

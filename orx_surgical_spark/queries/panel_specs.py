@@ -2,7 +2,7 @@
 
 The grading driver's correctness gate checks at most ~50 queries per
 round (round 1 recorded exactly the first 50 catalog names
-alphabetically), while the full registry declares 195 fine-grained
+alphabetically), while the full registry declares 197 fine-grained
 entries. To get EVERY SURVEY §2 operator a driver-green row, the
 driver-facing surface (``__spark_entry__.queries()``) exposes:
 
@@ -15,7 +15,7 @@ driver-facing surface (``__spark_entry__.queries()``) exposes:
   oracle applies the identical serialization to each member's oracle
   SQL.
 
-The internal registry keeps all 195 fine-grained entries: tests and
+The internal registry keeps all 197 fine-grained entries: tests and
 ``bench.py`` keep their per-operator resolution.
 
 Exception: the two quadratic exact baselines in ``REGISTRY_INTERNAL``
@@ -130,6 +130,7 @@ ORACLE_PANELS: dict[str, tuple[str, ...]] = {
         "cogroup_asof_merge",
         "order_gap_days",
         "range_join_close_events",
+        "user_active_intervals",  # r8: interval-union active time
     ),
     "panel_timeseries": (
         "date_spine_fill",
@@ -175,6 +176,7 @@ ORACLE_PANELS: dict[str, tuple[str, ...]] = {
         "unigram_perplexity_scores",  # r6: perplexity quality filter
         "pii_redaction_stats",  # r6: PII scrub, redacted text md5-pinned
         "source_boilerplate_stripped",  # r6: per-source prefix removal
+        "vocab_coverage",  # r8: top-V vocabulary build + OOV rates
     ),
     # ngram_jaccard_blocked (not the unblocked _pairs): the exposed
     # surface exercises the scale-safe shape; the all-pairs exact

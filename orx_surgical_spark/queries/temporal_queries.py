@@ -208,3 +208,59 @@ def grouped_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats,
         "user_id bigint, n_events bigint, med double, mad double, n_outliers bigint",
     )
+
+
+@register(
+    "user_active_intervals",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, epoch_ms(ts) AS s, epoch_ms(ts) + 300000 AS e
+      FROM events
+    ), m AS (
+      SELECT user_id, s, e,
+             MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS pme
+      FROM iv
+    ), g AS (
+      SELECT user_id, s, e,
+             SUM(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS grp
+      FROM m
+    ), per AS (
+      SELECT user_id, grp, MIN(s) AS ps, MAX(e) AS pe
+      FROM g GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_periods,
+           CAST(SUM(pe - ps) AS BIGINT) AS active_ms
+    FROM per GROUP BY user_id
+    """,
+    doc="Interval-union active-time accounting: each event opens a "
+        "5-minute activity interval; merge_intervals unions the "
+        "overlaps per user into maximal disjoint periods, then one "
+        "aggregate reports period count and total covered "
+        "milliseconds. The extent-based complement of gap "
+        "sessionization (sessionize_events counts 30-min inter-event "
+        "gaps; this measures actual covered time, the uptime/"
+        "coverage-gap primitive). One shuffle: both windows and the "
+        "closing aggregate share the user_id partitioning.",
+    tags=("temporal", "intervals"),
+)
+def user_active_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orx_surgical_spark.operators.temporal import merge_intervals
+
+    ev = load_table(spark, sf_dir, "events")
+    ms = F.unix_millis(F.col("ts"))
+    iv = ev.select(
+        "user_id", ms.alias("s"), (ms + F.lit(300000)).alias("e")
+    )
+    periods = merge_intervals(iv, "user_id", "s", "e")
+    return periods.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_periods"),
+        F.sum(F.col("period_end") - F.col("period_start")).alias(
+            "active_ms"
+        ),
+    )

@@ -676,3 +676,60 @@ def _phrase_oracle(phrases=_PHRASES) -> str:
 def phrase_match_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return X.phrase_hits(docs, list(_PHRASES))
+
+
+@register(
+    "vocab_coverage",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, unnest({_TOKS}) AS tok FROM documents
+    ), cnt AS (
+      SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+    ), vocab AS (
+      SELECT tok FROM cnt ORDER BY c DESC, tok LIMIT 32
+    )
+    SELECT t.source,
+           CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS oov_tokens,
+           ROUND(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 6) AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+    GROUP BY t.source
+    """,
+    doc="Tokenizer-vocabulary build + out-of-vocabulary coverage: the "
+        "top-32 corpus tokens by (count DESC, token) — the pinned tie "
+        "rule makes the truncation deterministic — then per-source OOV "
+        "token counts and rates against that vocabulary. The "
+        "vocabulary-sizing / domain-coverage primitive of a training "
+        "pipeline (which sources will fragment under a candidate "
+        "vocab?). Plan: one token aggregate, a TakeOrderedAndProject "
+        "top-V (never a global sort), and the V-row vocab broadcast "
+        "back into the coverage join — the corpus shuffles once for "
+        "the count and once for the per-source rollup.",
+    tags=("text", "vocab"),
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(X.tokens("text"), lambda t: t != F.lit(""))
+    exploded = docs.select(
+        "doc_id", "source", F.explode(toks).alias("tok")
+    )
+    vocab = (
+        exploded.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("tok"))
+        .limit(32)
+        .select("tok", F.lit(True).alias("in_vocab"))
+    )
+    flagged = exploded.join(F.broadcast(vocab), "tok", "left")
+    oov = F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+    return flagged.groupBy("source").agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("total_tokens"),
+        F.sum(oov).alias("oov_tokens"),
+        F.round(
+            F.sum(oov) * F.lit(1.0) / F.count(F.lit(1)), 6
+        ).alias("oov_rate"),
+    )

@@ -348,3 +348,13 @@ def test_phrase_match_filters_postings_before_join(spark, sf_dir):
     plan = plan_str(df)
     assert "CartesianProduct" not in plan
     assert "__tok" in plan  # vocabulary filter visible in the plan
+
+
+def test_vocab_coverage_topv_take_ordered_and_broadcast(spark, sf_dir):
+    """The top-V vocabulary is TakeOrderedAndProject (never a global
+    sort of the token counts) and joins back by broadcast."""
+    df = REGISTRY["vocab_coverage"].fn(spark, sf_dir)
+    plan = plan_str(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

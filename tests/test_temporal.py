@@ -151,3 +151,46 @@ def test_asof_tiebreak_unknown_column_raises(spark):
             left, right, on="k", left_ts="ts", right_ts="ts",
             value_cols=["v"], tiebreak="nope",
         )
+
+
+def test_merge_intervals_union_semantics(spark):
+    """Overlap, touch, containment, disjoint, and duplicate intervals:
+    the union must produce maximal disjoint periods per key."""
+    from orx_surgical_spark.operators.temporal import merge_intervals
+
+    rows = [
+        # u1: [0,10) [5,20) touch [20,30) -> one period [0,30);
+        #     [50,60) disjoint -> second period
+        (1, 0, 10), (1, 5, 20), (1, 20, 30), (1, 50, 60),
+        # u2: containment + duplicate
+        (2, 0, 100), (2, 10, 20), (2, 0, 100),
+        # u3: single
+        (3, 7, 8),
+    ]
+    df = spark.createDataFrame(rows, "k int, s long, e long")
+    got = sorted(
+        (r.k, r.period_start, r.period_end)
+        for r in merge_intervals(df, "k", "s", "e").collect()
+    )
+    assert got == [(1, 0, 30), (1, 50, 60), (2, 0, 100), (3, 7, 8)]
+
+
+def test_merge_intervals_single_shuffle_plan(spark):
+    """Both window passes and the closing aggregate share the key
+    partitioning: exactly ONE Exchange in the plan, and every
+    windowspecdefinition is key-partitioned."""
+    from orx_surgical_spark.operators.temporal import merge_intervals
+    from orx_surgical_spark.plans import plan_str
+
+    df = spark.createDataFrame([(1, 0, 1)], "k int, s long, e long")
+    plan = plan_str(merge_intervals(df, "k", "s", "e"))
+    # one Exchange: the two windows share the (k) sort, and the closing
+    # groupBy(k, grp) is satisfied by the existing hash-partitioning on
+    # k (a superset-key aggregate needs no re-shuffle).
+    tree_nodes = [
+        l for l in plan.splitlines()
+        if l.strip().startswith("(") and ") Exchange" in l
+    ]
+    assert len(tree_nodes) == 1, plan
+    specs = [l for l in plan.splitlines() if "windowspecdefinition(" in l]
+    assert specs and all("windowspecdefinition(k#" in s for s in specs), specs
