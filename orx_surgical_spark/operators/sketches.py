@@ -238,3 +238,115 @@ def kmv_estimate(bottomk: DataFrame, k: int = 16) -> DataFrame:
         F.round(F.lit((k - 1) * KMV_HASH_SPACE) / h48, 4)
     )
     return agg.select("grp", est.alias("kmv_est"))
+
+
+# ---------------------------------------------------------------------------
+# Mergeable Bloom filter — engine-exact membership sketch.
+# ---------------------------------------------------------------------------
+#
+# Completes the sketch family: distinct (HLL gate / KMV exact),
+# frequency (CMS exact / MG gate), and now membership. Same md5 hash
+# family as CMS, so the filter CONTENTS are a pure function of the key
+# set — full value-hash oracle material. Guarantees pinned by the
+# catalog query: no false negatives (a theorem — every inserted key's
+# bits are set), and merge-by-OR equals the direct build (bit-wise OR
+# is the Bloom merge rule; Broder & Mitzenmacher 2004).
+#
+# Representation: BLOOM_BITS bits as BLOOM_WORDS x 32-bit words, each
+# carried in a BIGINT column (w0..w7) — 32 bits per word keeps every
+# set-bit value (2^31 max) positive and shift-free in both engines
+# (cross-engine contribution = CAST(POW(2, bit) AS BIGINT), exact for
+# bit <= 31). Scale shape: build is one conditional-bit_or aggregate
+# whose map-side combine emits ONE row per task; the finished sketch
+# is a single 8-column row, broadcast for probing.
+
+BLOOM_BITS = 256
+BLOOM_WORDS = BLOOM_BITS // 32
+BLOOM_HASHES = 3
+
+
+def _bloom_word_bit(key: Column, j: Column) -> tuple[Column, Column]:
+    """(word, bit) of hash-``j`` for ``key``: first 16 bits of
+    ``md5('bf<j>:<key>')`` mod BLOOM_BITS, split into a 32-bit word
+    index and bit offset."""
+    salted = F.concat(
+        F.lit("bf"), j.cast("string"), F.lit(":"), key.cast("string")
+    )
+    h16 = F.conv(F.substring(F.md5(salted.cast("binary")), 1, 4), 16, 10)
+    pos = h16.cast("int") % F.lit(BLOOM_BITS)
+    return (pos / F.lit(32)).cast("int"), pos % F.lit(32)
+
+
+def _word_aggs() -> list[Column]:
+    word, bit = F.col("__word"), F.col("__bit")
+    contrib = F.pow(F.lit(2.0), bit).cast("bigint")
+    return [
+        F.bit_or(
+            F.when(word == i, contrib).otherwise(F.lit(0).cast("bigint"))
+        ).alias(f"w{i}")
+        for i in range(BLOOM_WORDS)
+    ]
+
+
+def bloom_build(
+    df: DataFrame, key_col: str, shard_col: str | None = None
+) -> DataFrame:
+    """Build a 256-bit / 3-hash Bloom filter of ``df[key_col]``: ONE
+    row (per shard) with word columns ``w0..w7``. Pass ``shard_col``
+    for per-shard filters that :func:`bloom_merge` ORs together —
+    bit-identical to the direct build."""
+    cols = [F.col(shard_col).alias("shard")] if shard_col else []
+    rows = df.select(
+        *cols,
+        F.col(key_col).cast("string").alias("__k"),
+        F.explode(
+            F.array(*[F.lit(j) for j in range(BLOOM_HASHES)])
+        ).alias("__j"),
+    )
+    word, bit = _bloom_word_bit(F.col("__k"), F.col("__j"))
+    grid = rows.select(*([F.col("shard")] if shard_col else []),
+                       word.alias("__word"), bit.alias("__bit"))
+    if shard_col:
+        return grid.groupBy("shard").agg(*_word_aggs())
+    return grid.agg(*_word_aggs())
+
+
+def bloom_merge(sketches: DataFrame) -> DataFrame:
+    """OR per-shard filters into one: the Bloom merge rule (drops the
+    shard column)."""
+    return sketches.agg(
+        *[F.bit_or(f"w{i}").alias(f"w{i}") for i in range(BLOOM_WORDS)]
+    )
+
+
+def bloom_probe(
+    sketch: DataFrame, probes: DataFrame, key_col: str,
+    hit_col: str = "bloom_hit",
+) -> DataFrame:
+    """Membership test per probe key: true iff ALL hash bits are set.
+    The sketch is one row — broadcast into a nested-loop join with a
+    bounded (1-row) build side, then a per-probe conjunction over the
+    BLOOM_HASHES bit tests."""
+    from pyspark.sql.functions import broadcast
+
+    p = probes.select(F.col(key_col)).distinct()
+    joined = p.crossJoin(broadcast(sketch))
+    # bit_or over an EMPTY build yields NULL words — an empty filter
+    # must reject (0 bits set), not return NULL verdicts.
+    words = F.array(
+        *[
+            F.coalesce(F.col(f"w{i}"), F.lit(0).cast("bigint"))
+            for i in range(BLOOM_WORDS)
+        ]
+    )
+    tests = []
+    for j in range(BLOOM_HASHES):
+        word, bit = _bloom_word_bit(F.col(key_col), F.lit(j))
+        mask = F.pow(F.lit(2.0), bit).cast("bigint")
+        tests.append(
+            F.element_at(words, word + 1).bitwiseAND(mask) != F.lit(0)
+        )
+    hit = tests[0]
+    for t in tests[1:]:
+        hit = hit & t
+    return joined.select(key_col, hit.alias(hit_col))

@@ -2,7 +2,7 @@
 
 The grading driver's correctness gate checks at most ~50 queries per
 round (round 1 recorded exactly the first 50 catalog names
-alphabetically), while the full registry declares 197 fine-grained
+alphabetically), while the full registry declares 198 fine-grained
 entries. To get EVERY SURVEY §2 operator a driver-green row, the
 driver-facing surface (``__spark_entry__.queries()``) exposes:
 
@@ -15,7 +15,7 @@ driver-facing surface (``__spark_entry__.queries()``) exposes:
   oracle applies the identical serialization to each member's oracle
   SQL.
 
-The internal registry keeps all 197 fine-grained entries: tests and
+The internal registry keeps all 198 fine-grained entries: tests and
 ``bench.py`` keep their per-operator resolution.
 
 Exception: the two quadratic exact baselines in ``REGISTRY_INTERNAL``
@@ -151,6 +151,7 @@ ORACLE_PANELS: dict[str, tuple[str, ...]] = {
         "skew_key_report",  # r7: hot-key profiler (salting pre-flight)
         "cms_user_event_counts",  # r8: engine-exact count-min sketch
         "kmv_distinct_users",  # r8: KMV bottom-k distinct + sample
+        "bloom_membership_users",  # r8: mergeable Bloom membership
     ),
     "panel_quality": (
         "dq_orders_report",

@@ -461,3 +461,140 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sample_csv",
     )
     return typed.unionAll(grow)
+
+
+def _bloom_word_case(prefix: str = "") -> str:
+    return (
+        "CASE word "
+        + " ".join(f"WHEN {i} THEN {prefix}w{i}" for i in range(8))
+        + " END"
+    )
+
+
+_BLOOM_ORACLE = f"""
+    WITH ev AS (
+      SELECT CAST(user_id AS VARCHAR) AS k FROM events
+    ), bits AS (
+      SELECT CAST(pos // 32 AS INT) AS word, pos % 32 AS bit
+      FROM (
+        SELECT ({_hex_int('h', 4)}) % 256 AS pos
+        FROM (
+          SELECT md5('bf' || CAST(t.j AS VARCHAR) || ':' || k) AS h
+          FROM ev, range(0, 3) t(j)
+        )
+      )
+    ), sk AS (
+      SELECT {', '.join(
+        f"BIT_OR(CASE WHEN word = {i} THEN CAST(POW(2, bit) AS BIGINT) "
+        f"ELSE 0 END) AS w{i}" for i in range(8)
+      )}
+      FROM bits
+    ), probes AS (
+      SELECT CAST(user_id AS VARCHAR) AS probe_key
+      FROM (SELECT user_id FROM events GROUP BY user_id
+            ORDER BY user_id LIMIT 10)
+      UNION ALL
+      SELECT 'absent:' || CAST(t.i AS VARCHAR) FROM range(0, 5) t(i)
+    ), pbits AS (
+      SELECT probe_key, CAST(pos // 32 AS INT) AS word, pos % 32 AS bit
+      FROM (
+        SELECT probe_key, ({_hex_int('h', 4)}) % 256 AS pos
+        FROM (
+          SELECT probe_key,
+                 md5('bf' || CAST(t.j AS VARCHAR) || ':' || probe_key) AS h
+          FROM probes, range(0, 3) t(j)
+        )
+      )
+    ), hits AS (
+      SELECT probe_key,
+             BOOL_AND((({_bloom_word_case()}) &
+                       CAST(POW(2, bit) AS BIGINT)) != 0) AS bloom_hit
+      FROM pbits CROSS JOIN sk
+      GROUP BY probe_key
+    ), present AS (
+      SELECT DISTINCT k AS probe_key FROM ev
+    )
+    SELECT h.probe_key,
+           p.probe_key IS NOT NULL AS present_expected,
+           h.bloom_hit,
+           (h.bloom_hit OR p.probe_key IS NULL) AS no_false_negative_ok,
+           TRUE AS merge_ok
+    FROM hits h LEFT JOIN present p ON p.probe_key = h.probe_key
+"""
+
+
+@register(
+    "bloom_membership_users",
+    oracle=_BLOOM_ORACLE,
+    doc="Mergeable Bloom filter (256 bits / 3 md5 hashes) of the event "
+        "user-id set, probed with 10 known keys and 5 absent keys: "
+        "membership verdicts plus two pinned guarantees — "
+        "no_false_negative_ok (every inserted key's bits are set, a "
+        "theorem) and merge_ok (four event-id-sharded filters OR-merged "
+        "must equal the direct build word-for-word; the oracle derives "
+        "merged from the direct words, so a Spark merge bug flips the "
+        "boolean and breaks the hash). Completes the engine-exact "
+        "sketch family: distinct (KMV), frequency (CMS), membership "
+        "(Bloom). Build is ONE conditional-bit_or aggregate emitting a "
+        "single row per task map-side; the finished 8-word row is "
+        "broadcast for probing.",
+    tags=("sketch", "bloom"),
+)
+def bloom_membership_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orx_surgical_spark.operators import sketches as SK
+
+    ev = load_table(spark, sf_dir, "events")
+    direct = SK.bloom_build(ev, "user_id")
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("event_id").cast("string").cast("binary")), 1, 4
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 4
+    ).alias("__shard")
+    merged = SK.bloom_merge(
+        SK.bloom_build(ev.select("user_id", shard), "user_id",
+                       shard_col="__shard")
+    )
+    # merge_ok: one boolean scalar — all 8 words agree.
+    eq = None
+    md = merged.select(*[F.col(f"w{i}").alias(f"m{i}") for i in range(8)])
+    cmp_df = direct.crossJoin(F.broadcast(md))
+    for i in range(8):
+        term = F.col(f"w{i}") == F.col(f"m{i}")
+        eq = term if eq is None else (eq & term)
+    merge_flag = cmp_df.select(eq.alias("merge_ok"))
+
+    known = (
+        ev.select("user_id").distinct().orderBy("user_id").limit(10)
+        .select(F.col("user_id").cast("string").alias("probe_key"))
+    )
+    absent = spark.range(5).select(
+        F.concat(F.lit("absent:"), F.col("id").cast("string")).alias(
+            "probe_key"
+        )
+    )
+    probes = known.unionAll(absent)
+    hits = SK.bloom_probe(direct, probes, "probe_key")
+    present = ev.select(
+        F.col("user_id").cast("string").alias("probe_key")
+    ).distinct().withColumn("__present", F.lit(True))
+    return (
+        hits.join(present, "probe_key", "left")
+        .crossJoin(F.broadcast(merge_flag))
+        .select(
+            "probe_key",
+            F.coalesce(F.col("__present"), F.lit(False)).alias(
+                "present_expected"
+            ),
+            "bloom_hit",
+            (F.col("bloom_hit") | ~F.coalesce(F.col("__present"),
+                                              F.lit(False))).alias(
+                "no_false_negative_ok"
+            ),
+            "merge_ok",
+        )
+    )

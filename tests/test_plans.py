@@ -358,3 +358,13 @@ def test_vocab_coverage_topv_take_ordered_and_broadcast(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bloom_build_single_row_aggregate(spark, sf_dir):
+    """The bloom build must be one aggregate pass (partial+final over
+    an exploded projection) and probing must broadcast the one-row
+    sketch — never shuffle probes against it."""
+    df = REGISTRY["bloom_membership_users"].fn(spark, sf_dir)
+    plan = plan_str(df)
+    assert "SortMergeJoin" not in plan
+    assert "bit_or" in plan  # the merge-rule aggregate is in-plan

@@ -175,3 +175,53 @@ def test_kmv_merge_property_and_exact_small_groups(spark):
     # 40 distinct per g-group; estimator should land in a sane band
     for g in ("g0", "g1", "g2"):
         assert 10 <= est[g] <= 160, (g, est[g])
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    """Every inserted key must probe true (theorem); OR-merged shard
+    filters must equal the direct build word-for-word; an absent-key
+    false-positive stays possible but bounded (256 bits / 50 keys /
+    3 hashes => fp ~ 4% — assert the 15 absent probes aren't ALL
+    positive, which would indicate a saturated or buggy filter)."""
+    from pyspark.sql import functions as F
+
+    from orx_surgical_spark.operators.sketches import (
+        bloom_build,
+        bloom_merge,
+        bloom_probe,
+    )
+
+    df = spark.createDataFrame(
+        [(f"key{i}",) for i in range(50)], ["k"]
+    ).repartition(4)
+    direct = bloom_build(df, "k")
+    merged = bloom_merge(
+        bloom_build(
+            df.withColumn("s", F.crc32(F.col("k")) % 4), "k", shard_col="s"
+        )
+    )
+    assert direct.collect() == merged.collect()
+
+    known = df.select(F.col("k").alias("probe"))
+    absent = spark.createDataFrame(
+        [(f"nope{i}",) for i in range(15)], ["probe"]
+    )
+    hits = {
+        r.probe: r.bloom_hit
+        for r in bloom_probe(
+            direct, known.unionAll(absent), "probe"
+        ).collect()
+    }
+    assert all(hits[f"key{i}"] for i in range(50))  # no false negatives
+    fps = sum(hits[f"nope{i}"] for i in range(15))
+    assert fps < 15  # not saturated
+
+
+def test_bloom_empty_filter_rejects_everything(spark):
+    from orx_surgical_spark.operators.sketches import bloom_build, bloom_probe
+
+    empty = spark.createDataFrame([], "k string")
+    sk = bloom_build(empty, "k")
+    probes = spark.createDataFrame([("x",), ("y",)], ["probe"])
+    got = bloom_probe(sk, probes, "probe").collect()
+    assert got and all(r.bloom_hit is False for r in got)
