@@ -674,3 +674,44 @@ def doc_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (docs["lang"] == right["lang2"]),
     ).select(F.col("doc_id").alias("src"), "dst")
     return kcore(edges, k=2, rounds=4)
+
+
+def _bfs_oracle() -> str:
+    from orx_surgical_spark.operators.graph import bfs_oracle_sql
+
+    seeds = "SELECT MIN(doc_id) AS node FROM documents GROUP BY lang"
+    return bfs_oracle_sql(_KCORE_EDGES_CTE, seeds, rounds=4)
+
+
+@register(
+    "doc_graph_bfs_layers",
+    oracle=_bfs_oracle(),
+    doc="Bounded-round BFS hop distances over the lang-affinity doc "
+        "graph, seeded at each language's first document: the radius "
+        "diagnostic completing the graph tier (components say WHICH "
+        "cluster, k-core how DENSE, BFS how FAR duplication spreads "
+        "from a seed before the graph dies out). Per round: one "
+        "frontier-sized edge join + LeftAnti against visited + a "
+        "distinct — never visited-set-sized work; the "
+        "frontier_exhausted flag proves the layers are the complete "
+        "reachable set, not a budget truncation. Generated unrolled "
+        "oracle (bfs_oracle_sql) replays every expansion.",
+    tags=("graph", "bfs"),
+)
+def doc_graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orx_surgical_spark.operators.graph import bfs_layers
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    right = docs.select(
+        F.col("doc_id").alias("dst"), F.col("lang").alias("lang2")
+    )
+    edges = docs.join(
+        right,
+        (
+            (right["dst"] == docs["doc_id"] + 1)
+            | (right["dst"] == docs["doc_id"] + 2)
+        )
+        & (docs["lang"] == right["lang2"]),
+    ).select(F.col("doc_id").alias("src"), "dst")
+    seeds = docs.groupBy("lang").agg(F.min("doc_id").alias("node"))
+    return bfs_layers(edges, seeds.select("node"), rounds=4)

