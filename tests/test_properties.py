@@ -190,3 +190,144 @@ def test_pii_redact_idempotent_batch(spark):
     ).first()
     assert agg["all_fixed"] is True
     assert agg["resid"] == 0
+
+
+def test_merge_intervals_matches_python_union_batch(spark):
+    """merge_intervals over one seeded random batch of interval sets
+    (many keys, one Spark job) must equal a reference python sweep —
+    coverage of overlap/touch/containment/duplicate mixes no
+    hand-picked fixture reaches."""
+    from orx_surgical_spark.operators.temporal import merge_intervals
+
+    rng = np.random.default_rng(83)
+    rows = []
+    for k in range(40):
+        for _ in range(rng.integers(1, 12)):
+            s = int(rng.integers(0, 200))
+            rows.append((k, s, s + int(rng.integers(1, 40))))
+    df = spark.createDataFrame(rows, "k int, s long, e long")
+    got = sorted(
+        (r.k, r.period_start, r.period_end)
+        for r in merge_intervals(df, "k", "s", "e").collect()
+    )
+
+    def py_union(ivs):
+        out = []
+        for s, e in sorted(ivs):
+            if out and s <= out[-1][1]:
+                out[-1] = (out[-1][0], max(out[-1][1], e))
+            else:
+                out.append((s, e))
+        return out
+
+    expect = []
+    by_key: dict[int, list] = {}
+    for k, s, e in rows:
+        by_key.setdefault(k, []).append((s, e))
+    for k, ivs in by_key.items():
+        expect += [(k, s, e) for s, e in py_union(ivs)]
+    assert got == sorted(expect)
+    # covered time never exceeds raw summed lengths, never less than
+    # the longest single interval (sanity of the merge direction)
+    for k, ivs in by_key.items():
+        covered = sum(e - s for kk, s, e in got if kk == k)
+        assert covered <= sum(e - s for s, e in ivs)
+        assert covered >= max(e - s for s, e in ivs)
+
+
+def test_kcore_matches_python_peel_batch(spark):
+    """Bounded-round kcore on a seeded random graph must equal the
+    python peel run for the same number of rounds (and the converged
+    flag must be right)."""
+    from orx_surgical_spark.operators.graph import kcore
+
+    rng = np.random.default_rng(19)
+    edges = {
+        (int(a), int(b))
+        for a, b in rng.integers(0, 30, size=(80, 2))
+        if a != b
+    }
+    df = spark.createDataFrame(sorted(edges), ["src", "dst"])
+    rounds, k = 3, 3
+    rows = kcore(df, k=k, rounds=rounds).collect()
+
+    adj: dict[int, set] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    alive = set(adj)
+    for _ in range(rounds):
+        deg = {n: len(adj[n] & alive) for n in alive}
+        alive = {n for n in alive if deg[n] >= k}
+    deg = {n: len(adj[n] & alive) for n in alive}
+    assert {r.node: r.core_deg for r in rows} == deg
+    converged = all(d >= k for d in deg.values())
+    assert all(r.converged == converged for r in rows)
+
+
+def test_bfs_matches_python_bfs_batch(spark):
+    """bfs_layers on a seeded random graph vs a python BFS: distances
+    equal for every node within the round budget."""
+    from collections import deque
+
+    from orx_surgical_spark.operators.graph import bfs_layers
+
+    rng = np.random.default_rng(7)
+    edges = {
+        (int(a), int(b))
+        for a, b in rng.integers(0, 40, size=(70, 2))
+        if a != b
+    }
+    seeds = [0, 1]
+    rounds = 3
+    df = spark.createDataFrame(sorted(edges), ["src", "dst"])
+    sdf = spark.createDataFrame([(s,) for s in seeds], ["node"])
+    rows = bfs_layers(df, sdf, rounds=rounds).collect()
+
+    adj: dict[int, set] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    dist = {s: 0 for s in seeds}
+    q = deque(seeds)
+    while q:
+        n = q.popleft()
+        if dist[n] >= rounds:
+            continue
+        for m in adj.get(n, ()):
+            if m not in dist:
+                dist[m] = dist[n] + 1
+                q.append(m)
+    assert {r.node: r.dist for r in rows} == dist
+    full = True
+    for n in list(dist):
+        if any(m not in dist for m in adj.get(n, ())):
+            full = False
+    assert all(r.frontier_exhausted == full for r in rows)
+
+
+@given(st.lists(st.integers(0, 30), min_size=1, max_size=60))
+@settings(max_examples=50, deadline=None)
+def test_kmv_estimator_pure_math(keys):
+    """The KMV read-out formula on arbitrary key multisets (pure
+    python replica of the md5 ordering): exact below k, and within a
+    loose multiplicative band above — the estimator can't collapse or
+    explode whatever the key distribution."""
+    import hashlib
+
+    k = 8
+    distinct = sorted(
+        {hashlib.md5(str(x).encode()).hexdigest() for x in keys}
+    )
+    n = len(distinct)
+    if n < k:
+        est = float(n)
+    else:
+        h48 = int(distinct[k - 1][:12], 16)
+        est = round((k - 1) * (16**12) / h48, 4)
+    if n < k:
+        assert est == n
+    else:
+        assert 0 < est  # positive
+        # loose band: k=8 gives ~40% std err; allow 8x both ways
+        assert n / 8 <= est <= n * 8
