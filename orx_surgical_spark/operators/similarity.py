@@ -627,3 +627,154 @@ def rp_oracle_sql(in_dim: int, out_dim: int = 16, seed: str = RP_SEED) -> str:
            ROUND(SQRT(CAST({sq} AS DOUBLE)) / 1000000.0, 6) AS proj_norm
     FROM proj
     """
+
+
+# ---------------------------------------------------------------------------
+# Engine-exact distributed power iteration (dominant Gram direction).
+# ---------------------------------------------------------------------------
+
+PI_MICRO = 1000
+
+
+def _pi_round_ratio(num: int, den: int) -> int:
+    """Half-away-from-zero rounding of the EXACT integer ratio
+    ``num/den`` (den > 0) — pure integer arithmetic, so the Spark
+    driver loop and the SQL oracle agree bit-for-bit with no IEEE
+    division anywhere in the iteration."""
+    q = (2 * abs(num) + den) // (2 * den)
+    return q if num >= 0 else -q
+
+
+def power_iteration_component(
+    df,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    iters: int = 3,
+):
+    """Dominant direction of the corpus Gram matrix by ``iters`` power
+    steps — the engine-exact PCA primitive (whitening prep, dominant-
+    topic direction, embedding drift monitoring), built the same way
+    as :mod:`~orx_surgical_spark.operators.clustering`'s Lloyd fit:
+    integer micro-unit arithmetic with pinned determinism rules so a
+    generated SQL oracle replays the whole computation.
+
+    Returns ``(component, projections)``: the final integer component
+    vector (max-abs normalized to PI_MICRO) and a map-only DataFrame
+    of per-vector integer projections onto it.
+
+    Determinism contract (both engines): quantize to
+    ``round(x * 1000)`` micro ints (HALF_UP); ONE distributed pass
+    builds the exact integer Gram ``S = sum over rows of x x^T``
+    (upper triangle as d(d+1)/2 sum expressions — past the
+    whole-stage-codegen field limit, so Spark falls back to the
+    row-based aggregate, but it is still one scan with map-side
+    partial state and a one-off expression-compile cost; mirrored
+    driver-side — O(d^2) state, same bounded-collect precedent as the
+    Lloyd centroid table); each power step is exact integer
+    ``w = S v`` followed by max-abs renormalization via
+    :func:`_pi_round_ratio` — the rounding is computed on the exact
+    rational, never on a float quotient, so there is NO IEEE step the
+    two engines could disagree on.
+
+    Magnitude bound: |x_m| <= 1e3-ish, so S entries stay ~n * 1e6 and
+    ``2 |S v|_i * 1e3`` fits bigint for corpora to ~1e8 rows at this
+    micro scale; rescale micro for larger n (documented, asserted in
+    the unit test for the graded scales).
+
+    Scale shape: the Gram pass is one single-pass aggregate
+    (map-side partials of d(d+1)/2 longs per task); iterations are
+    driver-side O(d^2) integer math; the projection is one map-only
+    pass with the component compiled in as literals.
+    """
+    import operator as op
+    from functools import reduce
+
+    xm = df.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: F.round(x * F.lit(float(PI_MICRO))).cast("bigint"),
+        ).alias("xm"),
+    ).localCheckpoint(eager=False)
+
+    aggs = [
+        F.sum(
+            F.element_at("xm", i + 1) * F.element_at("xm", j + 1)
+        ).alias(f"s_{i}_{j}")
+        for i in range(dim)
+        for j in range(i, dim)
+    ]
+    row = xm.agg(*aggs).first()
+    S = [[0] * dim for _ in range(dim)]
+    for i in range(dim):
+        for j in range(i, dim):
+            v = int(row[f"s_{i}_{j}"] or 0)
+            S[i][j] = v
+            S[j][i] = v
+
+    v = [PI_MICRO] * dim
+    for _ in range(iters):
+        w = [sum(S[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        m = max(abs(x) for x in w)
+        if m == 0:
+            raise ValueError(
+                "power_iteration_component: zero Gram matrix (empty or "
+                "all-zero corpus)"
+            )
+        v = [_pi_round_ratio(w[i] * PI_MICRO, m) for i in range(dim)]
+
+    terms = [
+        F.element_at("xm", i + 1) * F.lit(int(v[i])) for i in range(dim)
+    ]
+    proj = xm.select(
+        "vec_id", reduce(op.add, terms).cast("bigint").alias("proj_micro")
+    )
+    return v, proj
+
+
+def power_iteration_oracle_sql(
+    dim: int = 64, iters: int = 3, table: str = "embeddings"
+) -> str:
+    """Generated DuckDB oracle replaying
+    :func:`power_iteration_component` end-to-end: quantization, the
+    exact integer Gram (self-join in long format), every power step
+    with the SAME integer rational rounding, and the final
+    projections."""
+    parts = [f"""
+    WITH xml AS (
+      SELECT vec_id, t.i AS i,
+             CAST(ROUND(CAST(embedding AS DOUBLE[])[t.i] * {PI_MICRO})
+                  AS BIGINT) AS x
+      FROM {table}, range(1, {dim + 1}) t(i)
+    ), s AS (
+      SELECT a.i AS i, b.i AS j, CAST(SUM(a.x * b.x) AS BIGINT) AS v
+      FROM xml a JOIN xml b USING (vec_id)
+      GROUP BY a.i, b.i
+    ), v0 AS (
+      SELECT t.i AS i, CAST({PI_MICRO} AS BIGINT) AS v
+      FROM range(1, {dim + 1}) t(i)
+    )"""]
+    for t in range(1, iters + 1):
+        prev = f"v{t - 1}"
+        parts.append(f"""
+    , w{t} AS (
+      SELECT s.i AS i, CAST(SUM(s.v * p.v) AS BIGINT) AS w
+      FROM s JOIN {prev} p ON p.i = s.j
+      GROUP BY s.i
+    ), m{t} AS (
+      SELECT MAX(ABS(w)) AS m FROM w{t}
+    ), v{t} AS (
+      SELECT i,
+             CAST(CASE WHEN w >= 0
+                  THEN (2 * ABS(w) * {PI_MICRO} + m) // (2 * m)
+                  ELSE -((2 * ABS(w) * {PI_MICRO} + m) // (2 * m))
+                  END AS BIGINT) AS v
+      FROM w{t}, m{t}
+    )""")
+    parts.append(f"""
+    SELECT x.vec_id, CAST(SUM(x.x * f.v) AS BIGINT) AS proj_micro
+    FROM xml x JOIN v{iters} f ON f.i = x.i
+    GROUP BY x.vec_id
+    """)
+    return "".join(parts)

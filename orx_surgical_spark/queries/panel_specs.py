@@ -2,7 +2,7 @@
 
 The grading driver's correctness gate checks at most ~50 queries per
 round (round 1 recorded exactly the first 50 catalog names
-alphabetically), while the full registry declares 199 fine-grained
+alphabetically), while the full registry declares 200 fine-grained
 entries. To get EVERY SURVEY §2 operator a driver-green row, the
 driver-facing surface (``__spark_entry__.queries()``) exposes:
 
@@ -15,7 +15,7 @@ driver-facing surface (``__spark_entry__.queries()``) exposes:
   oracle applies the identical serialization to each member's oracle
   SQL.
 
-The internal registry keeps all 199 fine-grained entries: tests and
+The internal registry keeps all 200 fine-grained entries: tests and
 ``bench.py`` keep their per-operator resolution.
 
 Exception: the two quadratic exact baselines in ``REGISTRY_INTERNAL``
@@ -211,6 +211,7 @@ ORACLE_PANELS: dict[str, tuple[str, ...]] = {
         "array_hof_embedding_stats",
         "random_projection_embed",  # r7: JL sparse projection, micro-exact
         "kmeans_clusters",  # r7: engine-exact Lloyd k-means, full-fit hash
+        "principal_projection",  # r8: engine-exact power iteration (PCA)
     ),
     "panel_multimodal": (
         "media_metadata_summary",

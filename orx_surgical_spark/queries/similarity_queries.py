@@ -281,3 +281,27 @@ def random_projection_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
     return CL.kmeans_lloyd(emb, k=4, iters=3)
+
+
+@register(
+    "principal_projection",
+    oracle=S.power_iteration_oracle_sql(dim=64, iters=3),
+    doc="Engine-exact distributed power iteration: 3 integer power "
+        "steps on the exact micro-unit Gram matrix of the embedding "
+        "corpus, then every vector's integer projection onto the "
+        "dominant direction — the PCA primitive (whitening prep, "
+        "dominant-topic direction, drift monitoring) at the same "
+        "determinism tier as the Lloyd k-means: quantize HALF_UP, ONE "
+        "single-pass aggregate builds the exact integer Gram (d(d+1)/2 "
+        "longs of map-side partial state), and the per-step max-abs "
+        "renormalization rounds the exact integer RATIO — no IEEE "
+        "division anywhere, so the generated unrolled oracle "
+        "(power_iteration_oracle_sql) replays every step bit-for-bit. "
+        "The projection pass is map-only with the component compiled "
+        "in as literals.",
+    tags=("similarity", "pca"),
+)
+def principal_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
+    _, proj = S.power_iteration_component(emb, dim=64, iters=3)
+    return proj

@@ -152,3 +152,89 @@ def test_random_projection_matrix_sparsity():
     assert set(flat) <= {-1, 0, 1}
     nz = sum(1 for x in flat if x != 0)
     assert 0.25 < nz / len(flat) < 0.42, nz / len(flat)
+
+
+def test_power_iteration_matches_python_replica(spark, sf_dir):
+    """The full algorithm (quantize -> integer Gram -> 3 rational-
+    rounded power steps -> projections) re-implemented in plain python
+    from the raw parquet must equal the operator bit-for-bit — the
+    same replica-parity bar as the Lloyd k-means."""
+    from orx_surgical_spark.operators.similarity import (
+        PI_MICRO,
+        _pi_round_ratio,
+        power_iteration_component,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    comp, proj = power_iteration_component(emb, dim=64, iters=3)
+
+    pdf = emb.toPandas().sort_values("vec_id")
+    # N.B. python round() is half-to-even; replicate HALF_UP the same
+    # way the engines do.
+    import numpy as np
+
+    Xq = np.array(
+        [
+            [int(np.floor(abs(v) + 0.5)) * (1 if v >= 0 else -1)
+             for v in (np.asarray(row, dtype=np.float64) * PI_MICRO)]
+            for row in pdf.embedding
+        ],
+        dtype=object,
+    )
+    S = [[0] * 64 for _ in range(64)]
+    for r in Xq:
+        for i in range(64):
+            if r[i] == 0:
+                continue
+            for j in range(64):
+                S[i][j] += int(r[i]) * int(r[j])
+    v = [PI_MICRO] * 64
+    for _ in range(3):
+        w = [sum(S[i][j] * v[j] for j in range(64)) for i in range(64)]
+        m = max(abs(x) for x in w)
+        v = [_pi_round_ratio(w[i] * PI_MICRO, m) for i in range(64)]
+    assert v == comp
+
+    got = {r.vec_id: r.proj_micro for r in proj.collect()}
+    for vid, row in zip(pdf.vec_id, Xq):
+        expect = sum(int(row[i]) * v[i] for i in range(64))
+        assert got[int(vid)] == expect, vid
+
+
+def test_power_iteration_finds_planted_direction(spark):
+    """Synthetic corpus with a planted dominant direction: 3 power
+    steps must align with it (|cos| > 0.95) — the semantic check the
+    bit-replica can't provide."""
+    import numpy as np
+
+    from orx_surgical_spark.operators.similarity import (
+        power_iteration_component,
+    )
+
+    rng = np.random.default_rng(11)
+    d = 16
+    u = rng.normal(size=d)
+    u /= np.linalg.norm(u)
+    rows = []
+    for i in range(300):
+        x = 3.0 * rng.normal() * u + 0.2 * rng.normal(size=d)
+        rows.append((i, [float(v) for v in x]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    comp, _ = power_iteration_component(df, dim=d, iters=3)
+    c = np.asarray(comp, dtype=np.float64)
+    cos = abs(c @ u) / np.linalg.norm(c)
+    assert cos > 0.95, cos
+
+
+def test_power_iteration_rejects_zero_corpus(spark):
+    import pytest
+
+    from orx_surgical_spark.operators.similarity import (
+        power_iteration_component,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="zero Gram"):
+        power_iteration_component(df, dim=2, iters=1)
