@@ -672,6 +672,8 @@ def phrase_hits(
     row (count 0) so the output schema is a total function of the
     probe list.
     """
+    if not phrases:
+        raise ValueError("phrase_hits: phrases must be non-empty")
     toks = F.filter(tokens(text_col), lambda t: t != F.lit(""))
     vocab = sorted({w for p in phrases for w in p.split()})
     postings = (

@@ -682,7 +682,12 @@ def phrase_match_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "vocab_coverage",
     oracle=f"""
     WITH toks AS (
-      SELECT doc_id, source, unnest({_TOKS}) AS tok FROM documents
+      -- list_filter mirrors the Spark side's empty-token drop: an
+      -- empty/whitespace-only text would otherwise yield a [''] token
+      -- here but none there (ADVICE r8).
+      SELECT doc_id, source,
+             unnest(list_filter({_TOKS}, t -> t <> '')) AS tok
+      FROM documents
     ), cnt AS (
       SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
     ), vocab AS (

@@ -37,7 +37,9 @@ def main() -> None:
         d01 = b01.get("duckdb_s", {}).get(name)
         d1 = b1.get("duckdb_s", {}).get(name)
         entry = {"spark_s_sf0.1": s01, "spark_s_sf1": s1}
-        if d01 and d1:
+        # `is not None` + explicit zero guard: a legitimate 0.0 DuckDB
+        # timing must not silently drop the entry (ADVICE r8).
+        if d01 is not None and d1 is not None and d01 > 0 and d1 > 0:
             r01 = round(s01 / d01, 2)
             r1 = round(s1 / d1, 2)
             entry.update(

@@ -117,7 +117,16 @@ def test_gram_neardup_matches_expression_variant(spark, sf_dir):
     }
     assert set(expr) == set(gram)
     for k in expr:
-        assert expr[k] == gram[k], (k, expr[k], gram[k])
+        # Both paths round to 6 dp IN-PLAN, so the values are exactly
+        # equal unless BLAS reduction order flips a 6th-decimal rounding
+        # boundary on this build. That flip needs ~1e-9-scale luck; if a
+        # different BLAS/thread pin ever hits it, the 1-ulp-at-6dp
+        # fallback keeps the test meaningful instead of flaky — the
+        # driver's hash gate is the authority on exactness (ADVICE r8).
+        if expr[k] != gram[k]:
+            assert abs(expr[k] - gram[k]) <= 1e-6 + 1e-12, (
+                k, expr[k], gram[k],
+            )
 
 
 def test_random_projection_jl_distortion(spark, sf_dir):
