@@ -2,15 +2,28 @@
 
 A panel bundles several registry queries into ONE driver-checkable
 query. Each member's result rows are serialized into a canonical
-string column and tagged with the member name:
+string (columns in name-sorted order, mirroring the driver's
+column-name sort before hashing) and then REDUCED inside the engine to
+one order-free digest row per member:
 
-    (q: string = member name, r: string = 'v1|v2|...')
+    (q = member name, n = row count,
+     h1, h2 = decimal-string sums of two 60-bit md5 chunks of each
+              canonical row string)
 
-with columns taken in name-sorted order (mirroring the driver's
-column-name sort before hashing). The DuckDB oracle applies the exact
-same per-type serialization to each member's oracle SQL and UNION ALLs,
-so the driver's rows+schema+hash comparison transitively checks every
-member's full output.
+The DuckDB oracle applies the byte-identical serialization and digest
+arithmetic to each member's oracle SQL and UNION ALLs, so the driver's
+rows+schema+hash comparison still transitively checks every member's
+full output — any single differing/missing/extra member row moves n or
+one of the 120 checksum bits (collision odds ~2^-120 per member) —
+while the panel itself emits ONE ROW PER MEMBER instead of the full
+member row volume. That keeps the correctness probe O(members), not
+O(SF): before this change (r8) ``panel_olap`` alone serialized and
+collected 24M rows at sf1 (198 s of the 1165 s probe wall) for what is
+semantically a fixed-size equality certificate.
+
+Digest sums are rendered as decimal STRINGS on both sides: the sums
+exceed float53 precision (~n·2^60), and string rendering is the only
+representation both engines' pandas paths return losslessly.
 
 Canonical cell encoding (must be byte-identical across Spark/DuckDB):
 
@@ -117,20 +130,56 @@ def serialize_tall(df: DataFrame, tag: str) -> DataFrame:
     return df.select(F.lit(tag).alias("q"), F.concat_ws("|", *parts).alias("r"))
 
 
-def panel_fn(members: tuple[str, ...], eager: bool = False):
-    """Composite query callable: run + serialize + union each member.
+def _digest_chunk_spark(pos: int) -> str:
+    """Spark SQL: order-free checksum over the canonical row strings —
+    the sum of one 15-hex-digit (60-bit) md5 chunk per row, rendered as
+    a decimal string. DECIMAL(38,0) headroom: overflow would need
+    ~8.7e19 rows per member."""
+    return (
+        f"coalesce(CAST(SUM(CAST(conv(substr(md5(r), {pos}, 15), 16, 10) "
+        f"AS DECIMAL(38,0))) AS STRING), '0')"
+    )
 
-    ``eager=True`` materializes each member (Arrow round-trip to a
-    LocalRelation) before the union: every member runs as its own job
-    and the union sees only its tiny serialized (q, r) strings, so
-    heavyweight plans — MLlib model transforms whose UDF closures drag
-    the fitted model (and, via ``trainingSummary``, a non-serializable
-    SparkSession reference) into any RDD re-serialization — never
-    co-execute inside one UnionExec.  ``localCheckpoint`` is NOT usable
-    here for exactly that reason: its closure cleaning trips over
-    ``BinaryLogisticRegressionTrainingSummaryImpl``.  The round-trip is
-    bounded: these are correctness-panel results (scored test rows at
-    check SF), not a production operator path.
+
+def _digest_chunk_duck(pos: int) -> str:
+    """DuckDB expression producing the identical chunk sum string."""
+    return (
+        f"coalesce(CAST(SUM(CAST(('0x' || substr(md5(r), {pos}, 15))::BIGINT "
+        f"AS DECIMAL(38,0))) AS VARCHAR), '0')"
+    )
+
+
+def member_digest(df: DataFrame, tag: str) -> DataFrame:
+    """Reduce one member's full output to its (q, n, h1, h2) digest row.
+
+    The aggregate is a plain hash-free global agg with map-side partial
+    combine: per task it folds its rows into three longs/decimals, so
+    the data that crosses the final exchange is O(tasks), never O(rows)
+    — the panel's cost is the member plan itself, not the certificate.
+    """
+    tall = serialize_tall(df, tag)
+    return tall.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(_digest_chunk_spark(1)).alias("h1"),
+        F.expr(_digest_chunk_spark(17)).alias("h2"),
+    ).select(F.lit(tag).alias("q"), "n", "h1", "h2")
+
+
+def panel_fn(members: tuple[str, ...], eager: bool = False):
+    """Composite query callable: run + digest + union each member.
+
+    ``eager=True`` materializes each member's single digest row
+    (collect + ``createDataFrame`` to a LocalRelation) before the
+    union: every member runs as its own job and the union sees only a
+    literal row, so heavyweight plans — MLlib model transforms whose
+    UDF closures drag the fitted model (and, via ``trainingSummary``, a
+    non-serializable SparkSession reference) into any RDD
+    re-serialization — never co-execute inside one UnionExec.
+    ``localCheckpoint`` is NOT usable here for exactly that reason: its
+    closure cleaning trips over
+    ``BinaryLogisticRegressionTrainingSummaryImpl``. Since the digest
+    is one row, the materialization is a 4-field collect — no pandas
+    round-trip (VERDICT r8 item 4).
 
     Cost caveat: an eager panel executes its full member pipelines
     (MLlib fits included) at ``fn()`` BUILD time — callers wanting only
@@ -140,11 +189,11 @@ def panel_fn(members: tuple[str, ...], eager: bool = False):
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         frames = [
-            serialize_tall(REGISTRY[m].fn(spark, sf_dir), m) for m in members
+            member_digest(REGISTRY[m].fn(spark, sf_dir), m) for m in members
         ]
         if eager:
             frames = [
-                spark.createDataFrame(f.toPandas(), schema=f.schema)
+                spark.createDataFrame(f.collect(), schema=f.schema)
                 for f in frames
             ]
         return reduce(DataFrame.unionAll, frames)
@@ -153,7 +202,8 @@ def panel_fn(members: tuple[str, ...], eager: bool = False):
 
 
 def panel_oracle(members: tuple[str, ...]) -> str:
-    """Composite DuckDB oracle: serialize + UNION ALL each member oracle.
+    """Composite DuckDB oracle: serialize + digest + UNION ALL each
+    member oracle.
 
     Column types come from the generated ``PANEL_MEMBER_DTYPES`` snapshot
     of each member's Spark schema (regenerate with
@@ -168,7 +218,14 @@ def panel_oracle(members: tuple[str, ...]) -> str:
         dtypes = dict(PANEL_MEMBER_DTYPES[m])
         exprs = ", ".join(_canon_duck(c, dtypes[c]) for c in sorted(dtypes))
         selects.append(
-            f"SELECT '{m}' AS q, concat_ws('|', {exprs}) AS r\nFROM (\n{sub}\n) \"__{m}\""
+            f"SELECT '{m}' AS q,\n"
+            f"       CAST(COUNT(*) AS BIGINT) AS n,\n"
+            f"       {_digest_chunk_duck(1)} AS h1,\n"
+            f"       {_digest_chunk_duck(17)} AS h2\n"
+            f"FROM (\n"
+            f"  SELECT concat_ws('|', {exprs}) AS r\n"
+            f"  FROM (\n{sub}\n  ) \"__{m}\"\n"
+            f") \"__r_{m}\""
         )
     return "\nUNION ALL\n".join(selects)
 
