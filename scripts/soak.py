@@ -193,6 +193,47 @@ def main() -> int:
             failures.append(f"gate/{name}")
             results[f"gate/{name}"] = {"err": traceback.format_exc()[-300:]}
 
+    # Scale-golden drift check (VERDICT r8 item 6): the engine-exact
+    # generated-oracle queries are hash-checked against DuckDB at the
+    # graded SF, but at soak scale only their row counts were observed
+    # — freeze-and-compare closes that, exactly like the model goldens.
+    # Outputs are pure-integer, so the multiset comparison is exact.
+    from gen_scale_goldens import SCALE_GOLDEN_QUERIES, scale_golden_path
+
+    for name in SCALE_GOLDEN_QUERIES:
+        gpath = scale_golden_path(name, args.sf_dir)
+        if not os.path.exists(gpath):
+            continue  # un-frozen SF: nothing to drift-check against
+        t = time.monotonic()
+        try:
+            import pandas as pd
+
+            live = REGISTRY[name].fn(spark, args.sf_dir).toPandas()
+            golden = pd.read_parquet(gpath)
+            cols = sorted(golden.columns)
+            ok = sorted(live.columns) == cols and len(live) == len(golden)
+            if ok:
+                a = live[cols].sort_values(cols).reset_index(drop=True)
+                b = golden[cols].sort_values(cols).reset_index(drop=True)
+                ok = bool(a.equals(b))
+            results[f"drift/{name}"] = {
+                "drift_ok": ok,
+                "rows": len(golden),
+                "s": round(time.monotonic() - t, 2),
+            }
+            if not ok:
+                failures.append(f"drift/{name}")
+                print(f"[soak] drift/{name}: DRIFT vs {gpath}", flush=True)
+            else:
+                print(
+                    f"[soak] drift/{name}: ok ({len(golden)} frozen rows, "
+                    f"{time.monotonic() - t:.1f}s)", flush=True,
+                )
+        except Exception:
+            traceback.print_exc()
+            failures.append(f"drift/{name}")
+            results[f"drift/{name}"] = {"err": traceback.format_exc()[-300:]}
+
     # Bench headliners again at max accumulated session state.
 
     headliners = sorted(n for n, q in REGISTRY.items() if q.bench)
