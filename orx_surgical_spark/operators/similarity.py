@@ -872,3 +872,285 @@ def power_iteration_oracle_sql(
     GROUP BY x.vec_id
     """)
     return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Graph-refined ANN: kNN-graph build + beam-search serve (r9).
+# ---------------------------------------------------------------------------
+
+
+def build_knn_graph(
+    corpus: DataFrame,
+    m: int = 8,
+    block_bits: int = 4,
+    n_rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate kNN graph over the corpus — the build phase of the
+    graph-refined ANN serve tier (the HNSW/DiskANN family's navigable
+    neighborhood graph, built the Spark way: blocked batch Gram instead
+    of incremental insertion).
+
+    Per round r, vectors are blocked by the sign pattern of dims
+    ``[r*block_bits, (r+1)*block_bits)`` — deterministic, seedless, and
+    DIFFERENT per round, so the union of rounds cross-links regions a
+    single blocking would isolate (the multi-probe trick that keeps the
+    graph navigable across block boundaries). Within each block, one
+    BLAS Gram (same applyInPandas shape as
+    :func:`embedding_neardup_pairs_gram`) emits each row's top-``m``
+    in-block neighbors. Edges are then symmetrized (an edge found from
+    either endpoint serves both) and each node's adjacency is capped at
+    ``2*m`` by (sim DESC, dst ASC) so the serve-time fan-out is bounded.
+
+    Scale shape: ``n_rounds`` shuffles on the block keys + one shuffle
+    for the per-src degree cap; per-block memory is the n_block x d
+    matrix + its Gram, bounded by ``block_bits`` exactly as in the
+    near-dup tier. No all-pairs anywhere. Output: (src, dst, sim) with
+    sim rounded half-away to 6 dp.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if m < 1 or n_rounds < 1:
+        raise ValueError("build_knn_graph: m and n_rounds must be >= 1")
+
+    def topm(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        x = np.stack(pdf["v"].to_numpy())
+        norms = np.linalg.norm(x, axis=1)
+        norms[norms == 0.0] = 1.0
+        g = (x / norms[:, None]) @ (x / norms[:, None]).T
+        g = np.sign(g) * np.floor(np.abs(g) * 1e6 + 0.5) / 1e6  # SQL ROUND
+        np.fill_diagonal(g, -np.inf)
+        take = min(m, len(ids) - 1)
+        if take <= 0:
+            return pd.DataFrame({"src": [], "dst": [], "sim": []}).astype(
+                {"src": np.int64, "dst": np.int64, "sim": np.float64}
+            )
+        out_s, out_d, out_v = [], [], []
+        for i in range(len(ids)):
+            order = np.lexsort((ids, -g[i]))[:take]
+            keep = order[np.isfinite(g[i, order])]
+            out_s.append(np.full(len(keep), ids[i], dtype=np.int64))
+            out_d.append(ids[keep])
+            out_v.append(g[i, keep])
+        return pd.DataFrame(
+            {
+                "src": np.concatenate(out_s),
+                "dst": np.concatenate(out_d),
+                "sim": np.concatenate(out_v),
+            }
+        )
+
+    parts = []
+    for r in range(n_rounds):
+        key = F.concat(
+            *[
+                (F.element_at(vec_col, r * block_bits + i + 1) >= 0)
+                .cast("int")
+                .cast("string")
+                for i in range(block_bits)
+            ]
+        )
+        blocked = corpus.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+            key.alias("__block"),
+        )
+        parts.append(
+            blocked.groupBy("__block").applyInPandas(
+                topm, "src long, dst long, sim double"
+            )
+        )
+    from functools import reduce
+
+    edges = reduce(DataFrame.unionByName, parts)
+    sym = edges.unionByName(
+        edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "sim"
+        )
+    )
+    dedup = sym.groupBy("src", "dst").agg(F.max("sim").alias("sim"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src").orderBy(F.col("sim").desc(), F.col("dst").asc())
+    return (
+        dedup.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 2 * m)
+        .drop("__rn")
+    )
+
+
+def entry_points(
+    corpus: DataFrame,
+    block_bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic, spatially-spread beam-search entry set: the
+    minimum id of every round-0 sign block (<= 2^block_bits nodes, one
+    per occupied orthant slice — the seedless stand-in for HNSW's top
+    layer)."""
+    key = F.concat(
+        *[
+            (F.element_at(vec_col, i + 1) >= 0).cast("int").cast("string")
+            for i in range(block_bits)
+        ]
+    )
+    return (
+        corpus.select(F.col(id_col).cast("long").alias("node"), key.alias("__b"))
+        .groupBy("__b")
+        .agg(F.min("node").alias("node"))
+        .select("node")
+    )
+
+
+def search_knn_graph(
+    graph: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    beam: int = 16,
+    hops: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    entries: DataFrame | None = None,
+) -> DataFrame:
+    """Beam search over the kNN graph — the serve phase: greedy
+    best-first expansion batched over ALL queries at once, which is the
+    only way the sequential hop loop of HNSW-style search makes sense
+    on Spark (per-query sequentiality becomes per-hop set algebra).
+
+    Each hop: the frontier (the not-yet-expanded members of every
+    query's current beam) equi-joins the adjacency list, unseen
+    candidates equi-join the corpus for their vectors, ONE Arrow pass
+    scores them against the broadcast query matrix, and a per-query
+    window keeps the top-``beam``. Joins are frontier-sized
+    (<= n_queries * beam * degree rows), never corpus-sized; the
+    corpus-side lookup is an equi-join on the vector id, which prunes
+    and co-locates like any big-table point-join family at 100 TB.
+    Bounded rounds (``hops``), like the BFS/k-core operators.
+
+    Output matches the other ANN serves: (query_id, neighbor_id, sim,
+    rn <= k), sim rounded half-away to 6 dp, ties by neighbor id;
+    self-matches excluded from the final ranking. Fully deterministic
+    (no RNG, no MLlib seeds), so the recall gate's floor is stable.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    qrows = queries.select(
+        F.col(id_col).cast("long"), F.col(vec_col).cast("array<double>")
+    ).collect()
+    if not qrows:
+        raise ValueError("search_knn_graph: empty query set")
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1, keepdims=True)
+    qnorm[qnorm == 0.0] = 1.0
+    qmat = qmat / qnorm
+    bq = spark.sparkContext.broadcast(
+        {int(q): qmat[i] for i, q in enumerate(qids)}
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            qv = np.stack([bq.value[int(q)] for q in pdf["query_id"]])
+            cv = np.stack(pdf["__cv"].to_numpy()).astype(np.float64, copy=False)
+            nrm = np.linalg.norm(cv, axis=1)
+            nrm[nrm == 0.0] = 1.0
+            sims = np.einsum("ij,ij->i", qv, cv / nrm[:, None])
+            sims = np.sign(sims) * np.floor(np.abs(sims) * 1e6 + 0.5) / 1e6
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(dtype=np.int64),
+                    "node": pdf["node"].to_numpy(dtype=np.int64),
+                    "sim": sims,
+                }
+            )
+
+    vecs = corpus.select(
+        F.col(id_col).cast("long").alias("node"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+    )
+    qid_df = spark.createDataFrame(
+        [(int(q),) for q in sorted(qids)], "query_id long"
+    )
+    if entries is None:
+        entries = entry_points(corpus, id_col=id_col, vec_col=vec_col)
+    seed = F.broadcast(qid_df).crossJoin(F.broadcast(entries)).select(
+        "query_id", "node"
+    )
+
+    def score_nodes(cand: DataFrame) -> DataFrame:
+        return cand.join(vecs, "node").mapInPandas(
+            score, "query_id long, node long, sim double"
+        )
+
+    from pyspark.sql import Window
+
+    w_beam = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("node").asc()
+    )
+    top = score_nodes(seed).localCheckpoint(eager=False)
+    visited = seed.localCheckpoint(eager=False)
+    frontier = top.select("query_id", "node")
+    for _ in range(hops):
+        neigh = (
+            frontier.join(graph, frontier["node"] == graph["src"])
+            .select("query_id", F.col("dst").alias("node"))
+            .distinct()
+        )
+        fresh = neigh.join(visited, ["query_id", "node"], "left_anti")
+        scored = score_nodes(fresh).localCheckpoint(eager=False)
+        visited = visited.unionByName(
+            fresh.select("query_id", "node")
+        ).localCheckpoint(eager=False)
+        merged = top.unionByName(scored)
+        top = (
+            merged.withColumn("__rn", F.row_number().over(w_beam))
+            .filter(F.col("__rn") <= beam)
+            .drop("__rn")
+            .localCheckpoint(eager=False)
+        )
+        # expand only newly-scored nodes that made the beam
+        frontier = scored.join(
+            top.select("query_id", "node"), ["query_id", "node"], "left_semi"
+        ).select("query_id", "node")
+
+    w_k = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        top.filter(F.col("node") != F.col("query_id"))
+        .select("query_id", F.col("node").alias("neighbor_id"), "sim")
+        .withColumn("rn", F.row_number().over(w_k))
+        .filter(F.col("rn") <= k)
+    )
+
+
+def ann_graph_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    beam: int = 16,
+    hops: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Build + serve in one call (the registry-facing convenience; a
+    production deployment persists the graph once — it is a plain
+    (src, dst, sim) DataFrame, parquet-writable like the IVF lists —
+    and serves many query batches against it)."""
+    graph = build_knn_graph(
+        corpus, m=m, id_col=id_col, vec_col=vec_col
+    ).localCheckpoint(eager=False)
+    return search_knn_graph(
+        graph, corpus, queries, k=k, beam=beam, hops=hops,
+        id_col=id_col, vec_col=vec_col,
+    )

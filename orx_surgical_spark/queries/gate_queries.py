@@ -36,6 +36,10 @@ from orx_surgical_spark.sources import load_table
 _IVF_FLOOR = 0.45
 #: measured 0.92 / 0.98 — floor well above a broken-bucketing ~0.
 _LSH_FLOOR = 0.8
+#: measured 1.0 / 0.98 at the graded SFs (0.86 / 0.80 at the sf0.1 /
+#: sf1 soak scales, where the gate also runs) — floor clears the worst
+#: probed scale with margin while staying far above a broken-graph ~0.
+_GRAPH_FLOOR = 0.6
 #: measured 1.0 at both SFs against the banded-LSH verified pairs.
 _MINHASH_FLOOR = 0.9
 _JACCARD_THRESHOLD = 0.7
@@ -228,6 +232,7 @@ def _register_gates() -> None:
     for name, raw, method, floor in (
         ("ann_ivf_recall", "ann_ivf_topk", "ivf_kmeans", _IVF_FLOOR),
         ("ann_lsh_recall", "ann_lsh_topk", "rp_lsh", _LSH_FLOOR),
+        ("ann_graph_recall", "ann_graph_topk", "knn_graph_beam", _GRAPH_FLOOR),
     ):
         register(
             name,

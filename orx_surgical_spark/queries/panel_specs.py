@@ -273,6 +273,7 @@ ORACLE_PANELS: dict[str, tuple[str, ...]] = {
     "panel_ann": (
         "ann_ivf_recall",
         "ann_lsh_recall",
+        "ann_graph_recall",  # r9: kNN-graph beam-search serve tier
         "minhash_pair_recall",
         "sample_split_bands",
         "sketch_error_bands",
@@ -322,6 +323,7 @@ WRAPPER_COVERED: dict[str, tuple[str, ...]] = {
     "rf_scores_golden": ("rf_scores",),
     "ann_ivf_recall": ("ann_ivf_topk",),
     "ann_lsh_recall": ("ann_lsh_topk",),
+    "ann_graph_recall": ("ann_graph_topk",),
     "minhash_pair_recall": ("mllib_minhash_pairs",),
     "sample_split_bands": ("seeded_sample_split",),
     "sketch_error_bands": ("sketch_aggregates",),

@@ -304,3 +304,62 @@ def test_power_iteration_simulated_1e10_rows(spark, sf_dir):
         dim=64, iters=3, n_override=n_sim, max_abs_override=mx_sim
     )
     compare_query(proj, sql, sf_dir)
+
+
+def test_knn_graph_build_shape(spark, sf_dir):
+    """Adjacency invariants of the deterministic kNN graph: no
+    self-loops, unique directed edges, per-node out-degree capped at
+    2m (the cap trims each endpoint independently AFTER
+    symmetrization, exactly like HNSW's per-node pruning, so full
+    symmetry is intentionally NOT an invariant), and sims are true
+    6-dp cosines."""
+    from orx_surgical_spark.operators.similarity import build_knn_graph
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    g = build_knn_graph(emb, m=4).toPandas()
+    assert (g.src != g.dst).all()
+    deg = g.groupby("src").size()
+    assert (deg <= 8).all()
+    pairs = set(zip(g.src, g.dst))
+    assert len(pairs) == len(g), "directed edges must be unique"
+    # symmetrization happened before the cap: a large majority of edges
+    # should still have their reverse present (exactly-m graphs would
+    # break navigability if this collapsed)
+    n_sym = sum((b, a) in pairs for a, b in pairs)
+    assert n_sym >= 0.5 * len(pairs), f"only {n_sym}/{len(pairs)} symmetric"
+    vecs = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .toPandas()
+        .itertuples()
+    }
+    for r in g.sample(min(50, len(g)), random_state=0).itertuples():
+        a, b = vecs[r.src], vecs[r.dst]
+        true = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(round(true, 6) - r.sim) <= 1e-6
+
+
+def test_graph_ann_recall_floor(frames, spark, sf_dir):
+    """Beam search over the kNN graph: measured recall@5 1.0 / 0.98 at
+    the graded SFs (0.86 / 0.80 at soak scale); floor 0.7 here at the
+    graded SFs — the driver-facing gate (ann_graph_recall) uses 0.6 to
+    clear the worst probed scale."""
+    approx = REGISTRY["ann_graph_topk"].fn(spark, sf_dir).toPandas()
+    assert _recall_at_k(approx, frames["exact"]) >= 0.7
+
+
+def test_graph_ann_deterministic(spark, sf_dir):
+    """No RNG, no MLlib seeds: two independent builds+serves must be
+    row-identical (this is what lets the recall gate freeze a floor
+    instead of a band)."""
+    a = sorted(map(tuple, REGISTRY["ann_graph_topk"].fn(spark, sf_dir).collect()))
+    b = sorted(map(tuple, REGISTRY["ann_graph_topk"].fn(spark, sf_dir).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_graph_ann_results_are_top_k_shaped(spark, sf_dir):
+    df = REGISTRY["ann_graph_topk"].fn(spark, sf_dir).toPandas()
+    g = df.groupby("query_id").size()
+    assert (g <= 5).all()
+    assert (df.rn <= 5).all()
+    assert (df.query_id != df.neighbor_id).all(), "self-matches excluded"
