@@ -118,38 +118,27 @@ def main() -> None:
     # r5), 3 runs left the median itself contaminated too often.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
 
-    # Prepared-query convention (r9, VERDICT r8 item 5): each query's
-    # DataFrame is BUILT ONCE here and both the target warmup and the
-    # timed loop re-execute it. fn() is plan time — driver-only
-    # analysis plus any bounded dimension collects (cosine_topk's
-    # 50-query broadcast side) — and for batch_inference_scores it is
-    # also where predict_batch_udf is registered: a fresh UDF per run
-    # forced every Python worker to rebuild its cached predict fn on
-    # the first task, which is what the 63-76% r8 spreads were
-    # measuring. Re-executing one prepared plan re-runs the full
-    # distributed pipeline each lap (no result or shuffle caching
-    # without an explicit persist), which is the steady-state
-    # throughput the bench claims — the prepared-statement convention
-    # every TPC harness uses.
-    prepared: dict[str, object] = {}
+    # One untimed run per query at the TARGET scale: the sf0.001 warmup
+    # above compiles codegen, but scale-dependent state (parquet
+    # footer/page cache, broadcast builds, shuffle file buffers) only
+    # warms at the measured size — without this, run 1 is structurally
+    # 2-4x the steady state and the spread number reads as machine
+    # noise when it isn't.
+    #
+    # NOTE (r9): every timed run calls fn() fresh, ON PURPOSE. A
+    # prepared-DataFrame convention (build once, re-execute) was tried
+    # and REVERTED: queries built on lazy localCheckpoints (the dedup
+    # CC pipeline, phrase search, power iteration) silently reuse the
+    # checkpointed RDD blocks across executions of the SAME DataFrame —
+    # result caching, not steady-state measurement (corpus_curation
+    # "dropped" 2.7s -> 0.2s). Register-once UDF identity — the
+    # legitimate part of that experiment — lives where it belongs, in
+    # operators/inference.py's _UDF_CACHE, so per-run fn() no longer
+    # pays per-worker predict-fn rebuilds.
     failures: dict[str, str] = {}
     for name, q in bench_queries.items():
         try:
-            prepared[name] = q.fn(spark, sf_dir)
-        except Exception as exc:
-            failures[name] = f"{type(exc).__name__}: {exc}"[:300]
-            print(f"# FAILED (prepare) {name}: {failures[name]}", file=sys.stderr)
-
-    # One untimed run per prepared query at the TARGET scale: the
-    # sf0.001 warmup above compiles codegen, but scale-dependent state
-    # (parquet footer/page cache, broadcast builds, shuffle file
-    # buffers, per-worker Python predict-fn caches keyed on the
-    # prepared UDF) only warms at the measured size — without this,
-    # run 1 is structurally 2-4x the steady state and the spread number
-    # reads as machine noise when it isn't.
-    for name in list(prepared):
-        try:
-            prepared[name].write.format("noop").mode("overwrite").save()
+            q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         except Exception as exc:
             print(f"# target warmup {name} failed: {exc}", file=sys.stderr)
 
@@ -172,7 +161,8 @@ def main() -> None:
                     continue
                 t0 = time.perf_counter()
                 try:
-                    prepared[name].write.format("noop").mode("overwrite").save()
+                    df = bench_queries[name].fn(spark, sf_dir)
+                    df.write.format("noop").mode("overwrite").save()
                 except Exception as exc:
                     failures[name] = f"{type(exc).__name__}: {exc}"[:300]
                     print(f"# FAILED {name}: {failures[name]}", file=sys.stderr)
@@ -188,7 +178,7 @@ def main() -> None:
         return best, spread, wr
 
     t_all = time.perf_counter()
-    all_times = timed_lap([n for n in bench_queries if n in prepared], runs)
+    all_times = timed_lap(list(bench_queries), runs)
 
     # Quiet-gate retry (r9, VERDICT r8 item 8): a query whose
     # median-vs-min spread exceeds the threshold gets ONE fresh lap

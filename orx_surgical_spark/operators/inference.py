@@ -45,12 +45,22 @@ def linear_sigmoid_model(
     return make_predict_fn
 
 
+#: Register-once cache for scoring UDFs (keyed by caller-supplied model
+#: identity): a production pipeline registers its scorer ONCE and reuses
+#: it across query executions; re-wrapping the same model per call gives
+#: every wrap a fresh UDF id, which forces each Python worker to rebuild
+#: its cached predict fn on the first task it sees — pure overhead that
+#: showed up as 60-80% run-to-run spread in the r8 bench.
+_UDF_CACHE: dict = {}
+
+
 def batch_score(
     df: DataFrame,
     make_predict_fn: Callable[[], Callable],
     feature_cols: Sequence[str],
     out: str = "score",
     batch_size: int = 1024,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """E9: score every row with an Arrow-batched model UDF.
 
@@ -58,16 +68,27 @@ def batch_score(
     ``batch_size`` bounds per-batch memory the way the reference's 30
     chunks did, but per executor and in parallel.  Feature columns are
     combined into one (batch, n_features) tensor — the model sees the
-    same matrix the reference fed ``model.predict``."""
+    same matrix the reference fed ``model.predict``.
+
+    ``cache_key``: opt-in register-once semantics — callers whose model
+    is a process-stable pure function (deterministic weights, no
+    captured session state) pass a key naming it, and repeated calls
+    reuse one UDF id (see ``_UDF_CACHE``). Callers wrapping per-call
+    state must leave it None."""
     from pyspark.ml.functions import predict_batch_udf
     from pyspark.sql import functions as F
 
-    udf = predict_batch_udf(
-        make_predict_fn,
-        return_type=T.DoubleType(),
-        batch_size=batch_size,
-        input_tensor_shapes=[[len(feature_cols)]],
-    )
+    key = (cache_key, tuple(feature_cols), batch_size)
+    udf = _UDF_CACHE.get(key) if cache_key is not None else None
+    if udf is None:
+        udf = predict_batch_udf(
+            make_predict_fn,
+            return_type=T.DoubleType(),
+            batch_size=batch_size,
+            input_tensor_shapes=[[len(feature_cols)]],
+        )
+        if cache_key is not None:
+            _UDF_CACHE[key] = udf
     return df.withColumn(out, udf(F.array(*[F.col(c) for c in feature_cols])))
 
 

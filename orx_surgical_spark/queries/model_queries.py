@@ -202,6 +202,12 @@ def batch_inference_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hour("ts").cast("double").alias("f_hour"),
     )
     scored = batch_score(
-        ev, linear_sigmoid_model([0.004, -0.05], bias=0.1), ["f_value", "f_hour"]
+        ev,
+        linear_sigmoid_model([0.004, -0.05], bias=0.1),
+        ["f_value", "f_hour"],
+        # deterministic pure-function model -> register-once is safe and
+        # keeps repeated executions on one UDF id (worker predict-fn
+        # caches stay warm)
+        cache_key="linear_sigmoid[0.004,-0.05]+0.1",
     )
     return scored.select("event_id", F.round("score", 6).alias("score"))
