@@ -363,3 +363,27 @@ def test_graph_ann_results_are_top_k_shaped(spark, sf_dir):
     assert (g <= 5).all()
     assert (df.rn <= 5).all()
     assert (df.query_id != df.neighbor_id).all(), "self-matches excluded"
+
+
+def test_knn_graph_save_load_same_results(spark, sf_dir, tmp_path):
+    """Persisted kNN graph (the production build/serve split): beam
+    search over the parquet-round-tripped adjacency returns exactly the
+    in-memory build's results."""
+    from orx_surgical_spark.operators.similarity import (
+        build_knn_graph,
+        search_knn_graph,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.limit(10)
+    g = build_knn_graph(emb, m=6)
+    in_mem = search_knn_graph(g, emb, queries, k=5, beam=12, hops=2)
+
+    path = str(tmp_path / "knn_graph.parquet")
+    g.write.parquet(path)
+    g2 = spark.read.parquet(path)
+    loaded = search_knn_graph(g2, emb, queries, k=5, beam=12, hops=2)
+
+    a = sorted(map(tuple, in_mem.collect()))
+    b = sorted(map(tuple, loaded.collect()))
+    assert a == b and len(a) > 0

@@ -147,3 +147,28 @@ def test_dtype_snapshot_matches_live_schema(spark, sf_dir):
         "panel_dtypes.py is stale — rerun scripts/gen_panel_dtypes.py: "
         + "; ".join(f"{m}: {old} -> {new}" for m, old, new in drifted[:3])
     )
+
+
+def test_member_digest_empty_and_known_values(spark):
+    """Digest arithmetic edge cases: an empty member digests to
+    (n=0, h1='0', h2='0') — the coalesce path both engines share — and
+    a known row digests to the exact md5-chunk sums (hand-computed), so
+    the cross-engine contract is pinned against a constant, not just
+    engine-vs-engine."""
+    import hashlib
+
+    from orx_surgical_spark.queries.panels import member_digest, serialize_tall
+
+    df = spark.createDataFrame([(1, "a")], "id int, s string")
+    empty = df.filter("id < 0")
+    row = member_digest(empty, "m").collect()[0]
+    assert (row.q, row.n, row.h1, row.h2) == ("m", 0, "0", "0")
+
+    one = member_digest(df, "m").collect()[0]
+    # canonical string: columns name-sorted -> "1|a"
+    canon = serialize_tall(df, "m").collect()[0].r
+    assert canon == "1|a"
+    h = hashlib.md5(canon.encode()).hexdigest()
+    assert one.n == 1
+    assert one.h1 == str(int(h[0:15], 16))
+    assert one.h2 == str(int(h[16:31], 16))
