@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
             _apply_session_conf(spark)
+            _apply_shuffle_width(spark, sf_dir)
             return fn(spark, sf_dir)
 
         return run
@@ -47,6 +48,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL per query; omitted => rows-only check."""
     return {name: q.oracle for name, q in exposed().items() if q.oracle}
+
+
+_SHUFFLE_WIDTH_CACHE: dict[str, int] = {}
+
+
+def _apply_shuffle_width(spark: SparkSession, sf_dir: str) -> None:
+    """Size ``spark.sql.shuffle.partitions`` to the query's input on
+    driver-provided sessions (same ~32 MB/partition policy as
+    session.shuffle_partitions_for_bytes, cached per sf_dir).
+
+    Batch plans barely care — AQE (default-on in Spark 4) coalesces an
+    over-wide 200 anyway — but STREAMING stateful operators pin their
+    state-store partition count to this conf at first checkpoint, and
+    AQE never revisits it: at the graded/soak SFs the vanilla default
+    of 200 means every availableNow micro-batch schedules 200 state
+    tasks per stateful op for kilobytes of state each. Runtime-settable
+    and semantics-free, so safe on any driver session.
+    """
+    import os
+
+    n = _SHUFFLE_WIDTH_CACHE.get(sf_dir)
+    if n is None:
+        from orx_surgical_spark.session import shuffle_partitions_for_bytes
+
+        input_bytes = sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(sf_dir)
+            for f in files
+            if f.endswith(".parquet")
+        ) if os.path.isdir(sf_dir) else 0
+        n = shuffle_partitions_for_bytes(input_bytes)
+        _SHUFFLE_WIDTH_CACHE[sf_dir] = n
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    except Exception:
+        pass
 
 
 def _apply_session_conf(spark: SparkSession) -> None:
