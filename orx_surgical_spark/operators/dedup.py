@@ -252,9 +252,17 @@ def lsh_bucket_overflow(
 
 
 def jaccard(a: Column, b: Column) -> Column:
-    """Exact Jaccard similarity of two (distinct-element) arrays."""
+    """Exact Jaccard similarity of two (distinct-element) arrays.
+
+    Union size by inclusion-exclusion (|a| + |b| - |a∩b|), NOT
+    ``array_distinct(concat(a, b))``: both inputs are distinct by
+    contract, so the identity is exact, and it removes the single most
+    expensive per-pair expression from the verify stages — at sf3 the
+    2.2M-pair ngram verify spent more on the concat+distinct than on
+    the intersect itself (r9 measurement; ~2x on the verify stage).
+    """
     inter = F.size(F.array_intersect(a, b))
-    union = F.size(F.array_distinct(F.concat(a, b)))
+    union = F.size(a) + F.size(b) - inter
     return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
 
 
