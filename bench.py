@@ -189,6 +189,7 @@ def main() -> None:
     # mirror of soak.py's red-artifact guard.
     spread_threshold = float(os.environ.get("SPARK_GRAFT_MAX_SPREAD_PCT", "15"))
     retried: list[str] = []
+    retry_errors: dict[str, str] = {}
     offenders = [
         n
         for n, ts in all_times.items()
@@ -200,9 +201,17 @@ def main() -> None:
             file=sys.stderr,
         )
         wait_for_quiet_box(max_load, wait_budget)
+        pre_retry_failures = set(failures)
         retry = timed_lap(offenders, runs)
+        # A query that errors ONLY during the retry lap keeps its valid
+        # first-lap timings: the retry exists to reduce noise, not to
+        # erase a good steady-state measurement with a transient crash.
+        # The error is still surfaced, separately, as `retry_errors`.
+        for name in offenders:
+            if name in failures and name not in pre_retry_failures:
+                retry_errors[name] = failures.pop(name)
         for name, ts in retry.items():
-            if not ts or name in failures:
+            if not ts or name in failures or name in retry_errors:
                 continue
             retried.append(name)
             if lap_stats(ts)[1] <= lap_stats(all_times[name])[1]:
@@ -319,6 +328,7 @@ def main() -> None:
                 "duckdb_total": duckdb_total,
                 "ratio_total": ratio_total,
                 "failed": failures,
+                "retry_errors": retry_errors,
             }
         )
     )

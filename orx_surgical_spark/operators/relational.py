@@ -270,8 +270,30 @@ def full_period_coverage_keys(
 def full_enrollment_filter(
     df: DataFrame, key: str, period_col: str, periods: Sequence
 ) -> DataFrame:
-    """D2 + C4 composed: keep all rows of keys covering every period."""
-    return semi_join(df, full_period_coverage_keys(df, key, period_col, periods), key)
+    """D2 + C4 composed: keep all rows of keys covering every period.
+
+    Single-shuffle form (r10; VERDICT r9 item 3): ONE window over
+    ``partitionBy(key)`` computes ``size(collect_set(period in
+    window))`` next to every row, and the filter keeps rows whose key
+    covers all ``len(set(periods))`` periods. The previous
+    groupBy-countDistinct + left-semi composition exchanged the input
+    twice (partial-distinct on (key, period), then final on key) and
+    additionally broadcast the qualifying-key set — which at 100 TB is
+    a customers-sized table, not a dim, so the broadcast either OOMs
+    or degrades to a third (sort-merge) exchange. The window form is
+    one exchange on ``key``, no key-set materialization, identical
+    output rows. Per-partition window state is the distinct period set
+    (bounded by ``len(periods)``), not the row buffer — collect_set
+    over an unbounded frame aggregates without sorting.
+    """
+    lo, hi = min(periods), max(periods)
+    in_window = F.when(F.col(period_col).between(lo, hi), F.col(period_col))
+    w = Window.partitionBy(key)
+    return (
+        df.withColumn("__np", F.size(F.collect_set(in_window).over(w)))
+        .filter(F.col("__np") == len(set(periods)))
+        .drop("__np")
+    )
 
 
 def distinct_values(df: DataFrame, col: str) -> DataFrame:

@@ -835,7 +835,9 @@ def power_iteration_oracle_sql(
     WITH stats AS (
       {stats}
     ), mu AS (
-      SELECT CASE {rungs} ELSE CAST(NULL AS BIGINT) END AS u FROM stats
+      SELECT CASE {rungs} ELSE CAST(
+        error('pi_micro oracle: no ladder rung fits int64') AS BIGINT
+      ) END AS u FROM stats
     ), xml AS (
       SELECT vec_id, t.i AS i,
              CAST(ROUND(CAST(embedding AS DOUBLE[])[t.i] * mu.u)
@@ -886,6 +888,7 @@ def build_knn_graph(
     n_rounds: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_block: int = 4096,
 ) -> DataFrame:
     """Approximate kNN graph over the corpus — the build phase of the
     graph-refined ANN serve tier (the HNSW/DiskANN family's navigable
@@ -905,15 +908,26 @@ def build_knn_graph(
 
     Scale shape: ``n_rounds`` shuffles on the block keys + one shuffle
     for the per-src degree cap; per-block memory is the n_block x d
-    matrix + its Gram, bounded by ``block_bits`` exactly as in the
-    near-dup tier. No all-pairs anywhere. Output: (src, dst, sim) with
-    sim rounded half-away to 6 dp.
+    matrix + its Gram. ``block_bits`` bounds the block COUNT, not block
+    size, so a skewed corpus (e.g. all-nonnegative ReLU/TF-IDF
+    embeddings) can collapse into one giant block: any sign block
+    larger than ``max_block`` rows is therefore secondarily split into
+    ``ceil(count / max_block)`` deterministic ``xxhash64(id)`` buckets
+    before the Gram, capping per-task memory at
+    ``max_block^2 + max_block*d`` floats regardless of skew (the split
+    costs some in-block recall; the per-round re-blocking plus edge
+    symmetrization re-links across sub-buckets). The size census is a
+    tiny count-per-block aggregate broadcast back — no extra wide
+    shuffle. No all-pairs anywhere. Output: (src, dst, sim) with sim
+    rounded half-away to 6 dp.
     """
     import numpy as np
     import pandas as pd
 
     if m < 1 or n_rounds < 1:
         raise ValueError("build_knn_graph: m and n_rounds must be >= 1")
+    if max_block < 2:
+        raise ValueError("build_knn_graph: max_block must be >= 2")
 
     def topm(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["id"].to_numpy(dtype=np.int64)
@@ -958,8 +972,29 @@ def build_knn_graph(
             F.col(vec_col).cast("array<double>").alias("v"),
             key.alias("__block"),
         )
+        # Skew guard: split any block over max_block rows into
+        # deterministic hash sub-buckets. The census aggregate emits at
+        # most 2^block_bits rows and broadcasts back, so the only wide
+        # exchange stays the applyInPandas groupBy itself.
+        sizes = blocked.groupBy("__block").agg(F.count(F.lit(1)).alias("__cnt"))
+        salted = (
+            blocked.join(F.broadcast(sizes), "__block")
+            .withColumn(
+                "__nsub",
+                F.ceil(F.col("__cnt") / F.lit(max_block)).cast("long"),
+            )
+            .withColumn(
+                "__block",
+                F.concat_ws(
+                    "#",
+                    F.col("__block"),
+                    F.pmod(F.xxhash64("id"), F.col("__nsub")).cast("string"),
+                ),
+            )
+            .select("id", "v", "__block")
+        )
         parts.append(
-            blocked.groupBy("__block").applyInPandas(
+            salted.groupBy("__block").applyInPandas(
                 topm, "src long, dst long, sim double"
             )
         )
@@ -1078,7 +1113,7 @@ def search_knn_graph(
         F.col(vec_col).cast("array<double>").alias("__cv"),
     )
     qid_df = spark.createDataFrame(
-        [(int(q),) for q in sorted(qids)], "query_id long"
+        [(q,) for q in sorted(set(int(q) for q in qids))], "query_id long"
     )
     if entries is None:
         entries = entry_points(corpus, id_col=id_col, vec_col=vec_col)

@@ -13,10 +13,17 @@ one order-free digest row per member:
 The DuckDB oracle applies the byte-identical serialization and digest
 arithmetic to each member's oracle SQL and UNION ALLs, so the driver's
 rows+schema+hash comparison still transitively checks every member's
-full output — any single differing/missing/extra member row moves n or
-one of the 120 checksum bits (collision odds ~2^-120 per member) —
-while the panel itself emits ONE ROW PER MEMBER instead of the full
-member row volume. That keeps the correctness probe O(members), not
+full output — any SINGLE differing/missing/extra member row moves n or
+one of the 120 checksum bits with certainty, and any fixed set of k
+independent row corruptions survives only if their md5-chunk deltas
+cancel in BOTH 60-bit sums (~2^-120 for deltas modeled as uniform).
+The sums are linear, so this is weaker than a hash over sorted rows —
+an adversary could construct offsetting +delta/-delta row pairs — but
+the digest guards against engine/plan drift, not adversaries, and
+drift-shaped corruption (a changed aggregate, a lost row, a different
+rounding) is exactly the single-row / independent-delta case. The
+panel itself emits ONE ROW PER MEMBER instead of the full member row
+volume. That keeps the correctness probe O(members), not
 O(SF): before this change (r8) ``panel_olap`` alone serialized and
 collected 24M rows at sf1 (198 s of the 1165 s probe wall) for what is
 semantically a fixed-size equality certificate.
@@ -165,6 +172,18 @@ def member_digest(df: DataFrame, tag: str) -> DataFrame:
     ).select(F.lit(tag).alias("q"), "n", "h1", "h2")
 
 
+# Session-scoped digest-row cache for EAGER panel members, keyed by
+# (applicationId, sf_dir, member). An eager panel must execute its full
+# member pipelines (MLlib fits included) at fn() BUILD time — the cache
+# makes the SECOND and later builds within one session (plan sweeps,
+# repeated probes over the same immutable sf_dir) free instead of
+# re-fitting models (VERDICT r9 item 5). Values are one 4-field Row per
+# member, so the cache is O(members), never O(SF). Bench integrity is
+# unaffected: no panel carries q.bench, so no timed lap ever sees a
+# cache hit (see memory: bench-integrity-localcheckpoint).
+_EAGER_DIGEST_CACHE: dict[tuple[str, str, str], list] = {}
+
+
 def panel_fn(members: tuple[str, ...], eager: bool = False):
     """Composite query callable: run + digest + union each member.
 
@@ -182,20 +201,28 @@ def panel_fn(members: tuple[str, ...], eager: bool = False):
     round-trip (VERDICT r8 item 4).
 
     Cost caveat: an eager panel executes its full member pipelines
-    (MLlib fits included) at ``fn()`` BUILD time — callers wanting only
-    the plan/schema still pay full execution (~1 min for the three
-    model panels at sf0.001, as the plan-sweep test observes).
+    (MLlib fits included) at the FIRST ``fn()`` build in a session;
+    later builds over the same (session, sf_dir) reuse the memoized
+    digest rows (``_EAGER_DIGEST_CACHE``), so plan sweeps and repeated
+    schema probes no longer pay the ~1 min model-panel re-fit.
     """
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-        frames = [
-            member_digest(REGISTRY[m].fn(spark, sf_dir), m) for m in members
-        ]
-        if eager:
+        if not eager:
             frames = [
-                spark.createDataFrame(f.collect(), schema=f.schema)
-                for f in frames
+                member_digest(REGISTRY[m].fn(spark, sf_dir), m)
+                for m in members
             ]
+            return reduce(DataFrame.unionAll, frames)
+        app_id = spark.sparkContext.applicationId
+        frames = []
+        for m in members:
+            key = (app_id, sf_dir, m)
+            if key not in _EAGER_DIGEST_CACHE:
+                d = member_digest(REGISTRY[m].fn(spark, sf_dir), m)
+                _EAGER_DIGEST_CACHE[key] = (d.collect(), d.schema)
+            rows, schema = _EAGER_DIGEST_CACHE[key]
+            frames.append(spark.createDataFrame(rows, schema=schema))
         return reduce(DataFrame.unionAll, frames)
 
     return fn

@@ -36,8 +36,28 @@ def test_dim_fact_join_broadcasts(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
-def test_semi_join_stays_semi(spark, sf_dir):
-    plan = plan_str(REGISTRY["semi_join_full_years"].fn(spark, sf_dir))
+def test_enrollment_filter_single_exchange(spark, sf_dir):
+    """full_enrollment_filter (r10): the full-period coverage filter
+    must cost exactly ONE exchange (the window partitionBy on the key)
+    — the previous groupBy-countDistinct + left-semi shape exchanged
+    the input twice and broadcast a customers-sized key set."""
+    orders = R.with_year(
+        load_table(spark, sf_dir, "orders"), "o_orderdate", "o_year"
+    )
+    kept = R.full_enrollment_filter(orders, "o_custkey", "o_year", [1996, 1997, 1998])
+    plan = plan_str(kept, "simple")
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan  # no key-set semi join / broadcast
+
+
+def test_semi_join_operator_stays_semi(spark, sf_dir):
+    """The C4 semi-join operator itself still plans LeftSemi (it backs
+    q21/decontamination; full_enrollment_filter no longer uses it)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    plan = plan_str(R.semi_join(orders, cust, on="o_custkey"))
     assert "LeftSemi" in plan
 
 
