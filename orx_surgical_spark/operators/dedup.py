@@ -657,3 +657,109 @@ def incremental_dedup(
             .alias("decision"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring (suffix-array-tier) cross-document dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_substring_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+) -> DataFrame:
+    """Exact cross-document duplicated-substring coverage — the
+    Lee-et-al-style "dedup exact substrings >= k tokens" tier (the
+    suffix-array complement to MinHash; arXiv:2107.06499 builds a
+    suffix array, this builds the same answer the Spark way).
+
+    Definition: a token position of a document is DUPLICATED iff it is
+    covered by some k-token window that also occurs verbatim in at
+    least one OTHER document. Because every shared substring of length
+    L >= k contains all of its L-k+1 aligned k-windows in both
+    documents, stride-1 k-windows detect shared substrings at ARBITRARY
+    offsets exactly — unlike fixed-segment paragraph dedup
+    (:func:`paragraph_dedup`), which only catches 20-token-aligned
+    repeats. Output per document: token total, duplicated-token count,
+    coverage ratio, and the number of maximal duplicated spans (merged
+    overlapping/adjacent windows) — the spans a cut-and-retrain
+    pipeline would excise.
+
+    Shape at scale (no suffix array, no all-pairs):
+
+    1. map-only: tokenize once, emit one (id, start, md5(k-gram)) row
+       per stride-1 window — a NARROW stream (two ints + 32 bytes),
+       independent of document width;
+    2. one hash aggregate on the gram hash -> grams seen in >= 2
+       distinct documents (map-side partial distinct first);
+    3. left-semi join of the window stream against the duplicated-gram
+       hashes (same key as 2 — co-partitioned sort-merge at scale);
+    4. per-document interval merge: windows all have length k and
+       arrive start-sorted, so the running coverage is
+       ``least(k, start - lag(start))`` and a new maximal span opens
+       where ``start - lag(start) > k`` — one window function over the
+       hit stream, never over the corpus.
+
+    Both engines group by md5 of the SAME gram string, so even a
+    (cryptographically negligible) collision is engine-symmetric.
+    """
+    from pyspark.sql.window import Window
+
+    if k < 1:
+        raise ValueError("exact_substring_coverage: k must be >= 1")
+
+    t = df.select(F.col(id_col), tokens(text_col).alias("toks")).withColumn(
+        "n", F.size("toks")
+    )
+    starts = F.when(
+        F.col("n") >= k, F.sequence(F.lit(0), F.col("n") - k)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = t.select(
+        id_col, F.explode(starts).alias("p"), "toks"
+    ).select(
+        id_col,
+        F.col("p").cast("int").alias("p"),
+        F.md5(F.array_join(F.slice("toks", F.col("p") + 1, k), " ")).alias("gh"),
+    )
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("gh")
+    )
+    hits = grams.join(dup, "gh", "left_semi").select(id_col, "p")
+    w = Window.partitionBy(id_col).orderBy("p")
+    gap = F.col("p") - F.col("lp")
+    agg = (
+        hits.withColumn("lp", F.lag("p").over(w))
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.when(F.col("lp").isNull(), F.lit(k)).otherwise(
+                    F.least(F.lit(k), gap)
+                )
+            )
+            .cast("int")
+            .alias("__ndup"),
+            F.sum(
+                F.when(F.col("lp").isNull() | (gap > k), 1).otherwise(0)
+            )
+            .cast("int")
+            .alias("__nspans"),
+        )
+    )
+    return (
+        t.select(id_col, F.col("n").alias("n_tokens"))
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.coalesce("__ndup", F.lit(0)).cast("int").alias("n_dup_tokens"),
+            F.round(
+                F.coalesce("__ndup", F.lit(0)) / F.col("n_tokens"), 6
+            ).alias("dup_ratio"),
+            F.coalesce("__nspans", F.lit(0)).cast("int").alias("n_dup_spans"),
+        )
+    )

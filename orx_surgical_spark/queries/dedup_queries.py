@@ -493,3 +493,55 @@ def incremental_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return D.incremental_dedup(incoming, index)
+
+
+_ESK = 20  # exact-substring window length (tokens)
+
+
+@register(
+    "exact_substring_coverage",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), g AS (
+      SELECT doc_id, CAST(u.i AS INT) AS p,
+             md5(array_to_string(toks[u.i+1:u.i+{_ESK}], ' ')) AS gh
+      FROM t, unnest(range(CAST(greatest(len(toks) - {_ESK} + 1, 0)
+                           AS BIGINT))) AS u(i)
+    ), d AS (
+      SELECT gh FROM g GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2
+    ), h AS (
+      SELECT g.doc_id, g.p FROM g JOIN d USING (gh)
+    ), s AS (
+      SELECT doc_id, p,
+             lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS lp
+      FROM h
+    ), a AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN lp IS NULL THEN {_ESK}
+                           ELSE least({_ESK}, p - lp) END) AS INTEGER)
+                 AS ndup,
+             CAST(SUM(CASE WHEN lp IS NULL OR p - lp > {_ESK}
+                           THEN 1 ELSE 0 END) AS INTEGER) AS nspans
+      FROM s GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           CAST(COALESCE(a.ndup, 0) AS INTEGER) AS n_dup_tokens,
+           ROUND(COALESCE(a.ndup, 0) * 1.0 / len(toks), 6) AS dup_ratio,
+           CAST(COALESCE(a.nspans, 0) AS INTEGER) AS n_dup_spans
+    FROM t LEFT JOIN a USING (doc_id)
+    """,
+    doc="Exact-substring cross-document dedup (the Lee-et-al "
+        "suffix-array tier, built the Spark way): per document, the "
+        "token positions covered by a stride-1 20-token window that "
+        "occurs verbatim in >= 2 distinct documents — catches shared "
+        "substrings at ARBITRARY offsets, unlike 20-token-aligned "
+        "paragraph segments. Narrow (id, start, md5) window stream, "
+        "one gram-hash aggregate, one left-semi join, one per-doc "
+        "interval-merge window; no suffix array, no all-pairs.",
+    tags=("dedup", "text"),
+)
+def exact_substring_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    return D.exact_substring_coverage(docs, k=_ESK)

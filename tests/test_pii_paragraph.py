@@ -263,3 +263,74 @@ def test_pii_spans_overlap_precedence_matches_redact(spark):
         .first()["r"]
     )
     assert red == expected
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring (suffix-array tier) cross-document dedup (r10)
+# ---------------------------------------------------------------------------
+
+
+def _esc(spark, docs, k):
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    rows = D.exact_substring_coverage(df, k=k).collect()
+    return {r["doc_id"]: r for r in rows}
+
+
+def test_exact_substring_hand_computed(spark):
+    """Two docs share the 5-token run 'p q r s t' at DIFFERENT offsets
+    (doc 1 offset 2, doc 2 offset 0) — the case aligned-segment
+    paragraph dedup cannot catch. k=3: shared windows are the three
+    stride-1 3-grams of the run, so coverage is exactly the 5 shared
+    tokens in each doc, one maximal span."""
+    docs = [
+        (1, "a b p q r s t u"),       # 8 tokens, run at positions 2..6
+        (2, "p q r s t x y z w v"),   # 10 tokens, run at positions 0..4
+        (3, "m n o mm nn oo"),        # no sharing
+    ]
+    out = _esc(spark, docs, k=3)
+    assert (out[1]["n_tokens"], out[1]["n_dup_tokens"], out[1]["n_dup_spans"]) == (8, 5, 1)
+    assert (out[2]["n_tokens"], out[2]["n_dup_tokens"], out[2]["n_dup_spans"]) == (10, 5, 1)
+    assert (out[3]["n_dup_tokens"], out[3]["n_dup_spans"]) == (0, 0)
+    assert abs(out[1]["dup_ratio"] - 5 / 8) < 1e-9
+
+
+def test_exact_substring_two_disjoint_spans_merge_rule(spark):
+    """Doc 1 shares two separate runs with doc 2; the gap between them
+    exceeds k, so they count as TWO maximal spans. A third doc shares a
+    run adjacent to (gap == k) another shared run in doc 4 — adjacent
+    coverage merges into ONE span."""
+    docs = [
+        (1, "s1 s2 s3 g1 g2 g3 g4 t1 t2 t3"),
+        (2, "s1 s2 s3 x y z q t1 t2 t3"),
+        # doc 3/4: 'a1 a2 a3 b1 b2 b3' — both 3-gram halves are shared
+        # via docs 3 and 4, and in doc 4 they sit adjacent
+        (3, "a1 a2 a3 pad1 pad2 b1 b2 b3"),
+        (4, "a1 a2 a3 b1 b2 b3"),
+    ]
+    out = _esc(spark, docs, k=3)
+    # doc 1: spans [0,3) and [7,10) -> 6 dup tokens, 2 spans
+    assert (out[1]["n_dup_tokens"], out[1]["n_dup_spans"]) == (6, 2)
+    # doc 4: windows at 0 and 3 (gap == k) merge -> one 6-token span;
+    # the middle window 'a3 b1 b2' is unique to doc 4, not shared.
+    assert (out[4]["n_dup_tokens"], out[4]["n_dup_spans"]) == (6, 1)
+
+
+def test_exact_substring_within_doc_repeat_not_counted(spark):
+    """A run repeated only WITHIN one document is not cross-document
+    duplication: countDistinct(doc) >= 2 excludes it."""
+    docs = [
+        (1, "r1 r2 r3 mid r1 r2 r3"),
+        (2, "completely different words here"),
+    ]
+    out = _esc(spark, docs, k=3)
+    assert (out[1]["n_dup_tokens"], out[1]["n_dup_spans"]) == (0, 0)
+
+
+def test_exact_substring_short_docs_emit_zero(spark):
+    """Docs shorter than k tokens emit no windows but still appear in
+    the output with zero coverage."""
+    docs = [(1, "a b"), (2, "a b"), (3, "a b c d e")]
+    out = _esc(spark, docs, k=3)
+    assert out[1]["n_dup_tokens"] == 0 and out[1]["n_tokens"] == 2
+    assert out[2]["n_dup_tokens"] == 0
+    assert out[3]["n_dup_tokens"] == 0

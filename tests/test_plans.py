@@ -388,3 +388,14 @@ def test_bloom_build_single_row_aggregate(spark, sf_dir):
     plan = plan_str(df)
     assert "SortMergeJoin" not in plan
     assert "bit_or" in plan  # the merge-rule aggregate is in-plan
+
+
+def test_exact_substring_coverage_plan_shape(spark, sf_dir):
+    """Exact-substring dedup (r10): the duplicated-gram filter is a
+    left-semi join on the gram hash (narrow stream, co-partitioned with
+    the gram aggregate), the interval merge windows on doc_id, and
+    nothing degenerates to an all-pairs product."""
+    plan = plan_str(REGISTRY["exact_substring_coverage"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "windowspecdefinition(doc_id" in plan
+    assert "CartesianProduct" not in plan
