@@ -40,6 +40,10 @@ _LSH_FLOOR = 0.8
 #: sf1 soak scales, where the gate also runs) — floor clears the worst
 #: probed scale with margin while staying far above a broken-graph ~0.
 _GRAPH_FLOOR = 0.6
+#: measured 0.98 / 1.0 at the graded SFs, 0.9 at sf0.1, with the
+#: sqrt(n)-derived rerank shortlist; a broken shortlist/LUT collapses
+#: to ~k/n. Same floor discipline as the graph tier.
+_PQ_FLOOR = 0.6
 #: measured 1.0 at both SFs against the banded-LSH verified pairs.
 _MINHASH_FLOOR = 0.9
 _JACCARD_THRESHOLD = 0.7
@@ -233,6 +237,7 @@ def _register_gates() -> None:
         ("ann_ivf_recall", "ann_ivf_topk", "ivf_kmeans", _IVF_FLOOR),
         ("ann_lsh_recall", "ann_lsh_topk", "rp_lsh", _LSH_FLOOR),
         ("ann_graph_recall", "ann_graph_topk", "knn_graph_beam", _GRAPH_FLOOR),
+        ("ann_pq_recall", "ann_pq_topk", "pq_adc_rerank", _PQ_FLOOR),
     ):
         register(
             name,

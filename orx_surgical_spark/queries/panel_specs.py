@@ -2,7 +2,7 @@
 
 The grading driver's correctness gate checks at most ~50 queries per
 round (round 1 recorded exactly the first 50 catalog names
-alphabetically), while the full registry declares 203 fine-grained
+alphabetically), while the full registry declares 205 fine-grained
 entries. To get EVERY SURVEY §2 operator a driver-green row, the
 driver-facing surface (``__spark_entry__.queries()``) exposes:
 
@@ -17,7 +17,7 @@ driver-facing surface (``__spark_entry__.queries()``) exposes:
   identical serialization + digest arithmetic to each member's oracle
   SQL.
 
-The internal registry keeps all 203 fine-grained entries: tests and
+The internal registry keeps all 205 fine-grained entries: tests and
 ``bench.py`` keep their per-operator resolution.
 
 Exception: the two quadratic exact baselines in ``REGISTRY_INTERNAL``
@@ -277,6 +277,7 @@ ORACLE_PANELS: dict[str, tuple[str, ...]] = {
         "ann_ivf_recall",
         "ann_lsh_recall",
         "ann_graph_recall",  # r9: kNN-graph beam-search serve tier
+        "ann_pq_recall",  # r10: product-quantization ADC+rerank tier
         "minhash_pair_recall",
         "sample_split_bands",
         "sketch_error_bands",
@@ -327,6 +328,7 @@ WRAPPER_COVERED: dict[str, tuple[str, ...]] = {
     "ann_ivf_recall": ("ann_ivf_topk",),
     "ann_lsh_recall": ("ann_lsh_topk",),
     "ann_graph_recall": ("ann_graph_topk",),
+    "ann_pq_recall": ("ann_pq_topk",),
     "minhash_pair_recall": ("mllib_minhash_pairs",),
     "sample_split_bands": ("seeded_sample_split",),
     "sketch_error_bands": ("sketch_aggregates",),

@@ -219,6 +219,25 @@ def ann_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_pq_topk",
+    oracle=None,  # 8 chained Lloyd fits + ADC -> gate-covered, rows-only
+    doc="Product-quantization ANN top-k (r10, Jegou et al. TPAMI 2011 "
+        "ADC+R): per-subspace engine-exact Lloyd codebooks (integer "
+        "micro-units, id-order init — deterministic, no MLlib seeds), "
+        "map-only encode to 8 codes/vector (~32x compression), serve "
+        "by broadcast per-query BIGINT distance LUTs + a sqrt(n)-sized "
+        "exact-rerank shortlist. Measured recall@5 0.98/1.0/0.9 at "
+        "sf0.001/0.01/0.1, gated by ann_pq_recall (floor 0.6). At "
+        "100 TB composes with IVF probe lists (IVF-ADC).",
+    tags=("similarity", "ann", "pq"),
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.pq_topk(emb, queries, k=5, n_subspaces=8, n_centroids=16, iters=2)
+
+
+@register(
     "embedding_quantize_int8",
     oracle="""
     WITH t AS (

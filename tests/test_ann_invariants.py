@@ -387,3 +387,98 @@ def test_knn_graph_save_load_same_results(spark, sf_dir, tmp_path):
     a = sorted(map(tuple, in_mem.collect()))
     b = sorted(map(tuple, loaded.collect()))
     assert a == b and len(a) > 0
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ ADC + exact rerank, r10)
+# ---------------------------------------------------------------------------
+
+
+def test_pq_exact_when_shortlist_covers_corpus(spark):
+    """Exactness theorem: with rerank >= corpus size the ADC shortlist
+    is the whole corpus and the exact-integer rerank IS the ranking, so
+    pq_topk must equal brute-force L2 top-k on the normalized
+    micro-unit vectors — independent of codebook quality. This pins the
+    whole LUT/shortlist/rerank pipeline's arithmetic."""
+    import numpy as np
+
+    from orx_surgical_spark.operators import similarity as S
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 16)).tolist()
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = df.filter("vec_id < 3")
+    got = (
+        S.pq_topk(df, queries, k=4, n_subspaces=4, n_centroids=4,
+                  iters=1, rerank=1000)
+        .orderBy("query_id", "rn")
+        .collect()
+    )
+    # python replica: quantize normalized vectors to micro ints, rank
+    # by exact integer squared L2, ties by neighbor id
+    x = np.asarray(vecs)
+    xm = np.round(
+        x / np.linalg.norm(x, axis=1, keepdims=True) * 1_000_000
+    ).astype(np.int64)
+    for q in range(3):
+        d = ((xm - xm[q]) ** 2).sum(axis=1)
+        order = sorted(
+            (int(dd), i) for i, dd in enumerate(d) if i != q
+        )[:4]
+        want = [(q, i, dd, r + 1) for r, (dd, i) in enumerate(order)]
+        have = [
+            (r["query_id"], r["neighbor_id"], r["dist_micro_sq"], r["rn"])
+            for r in got
+            if r["query_id"] == q
+        ]
+        assert have == want, (q, have, want)
+
+
+def test_pq_deterministic_and_dedupes_queries(spark, sf_dir):
+    """Two runs produce identical rows (no seeds anywhere), and a query
+    set containing duplicate ids emits each query once (the LUT build
+    dedupes ids, mirroring the graph-serve fix)."""
+    from orx_surgical_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter("vec_id < 5")
+    dup_queries = queries.unionByName(queries)  # duplicated ids
+    a = S.pq_topk(emb, queries, k=3).orderBy("query_id", "rn").collect()
+    b = S.pq_topk(emb, dup_queries, k=3).orderBy("query_id", "rn").collect()
+    assert a == b
+    per_q = {}
+    for r in a:
+        per_q.setdefault(r["query_id"], []).append(r["rn"])
+    assert all(rns == [1, 2, 3] for rns in per_q.values())
+
+
+def test_pq_codes_bounded_and_compression_shape(spark, sf_dir):
+    """Every code is in [0, n_centroids); the codes table is exactly
+    one row per corpus vector with n_subspaces codes."""
+    from orx_surgical_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = S.pq_train_codebooks(emb, n_subspaces=8, n_centroids=16, iters=1)
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
+    codes = S.pq_encode(emb, books)
+    import pyspark.sql.functions as F
+
+    row = codes.agg(
+        F.count("*").alias("n"),
+        F.min(F.array_min("codes")).alias("lo"),
+        F.max(F.array_max("codes")).alias("hi"),
+        F.min(F.size("codes")).alias("m"),
+    ).first()
+    assert row["n"] == emb.count()
+    assert row["lo"] >= 0 and row["hi"] < 16 and row["m"] == 8
+
+
+def test_pq_recall_floor(frames, spark, sf_dir):
+    """Measured recall@5 0.98 (sf0.001) / 1.0 (sf0.01) / 0.9 (sf0.1)
+    with the sqrt(n)-derived shortlist; unit floor 0.8, driver-facing
+    gate ann_pq_recall floors at 0.6."""
+    pq = REGISTRY["ann_pq_topk"].fn(spark, sf_dir).toPandas()
+    assert _recall_at_k(pq, frames["exact"]) >= 0.8
