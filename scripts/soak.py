@@ -234,6 +234,37 @@ def main() -> int:
             failures.append(f"drift/{name}")
             results[f"drift/{name}"] = {"err": traceback.format_exc()[-300:]}
 
+    # Power-iteration micro-ladder observation (VERDICT r9 item 4):
+    # record the input-derived quantization unit the PCA primitive
+    # actually picks at THIS SF — replaying the operator's own pre-pass
+    # — so the ladder's first downshift is an observed artifact, not a
+    # by-design claim.
+    try:
+        from pyspark.sql import functions as _F
+
+        from orx_surgical_spark.operators.similarity import pi_micro_for
+
+        _arr = _F.col("embedding").cast("array<double>")
+        _stat = (
+            spark.read.parquet(os.path.join(args.sf_dir, "embeddings.parquet"))
+            .agg(
+                _F.count(_F.lit(1)).alias("n"),
+                _F.max(_F.array_max(_F.transform(_arr, _F.abs))).alias("mx"),
+            )
+            .first()
+        )
+        results["pi_micro_ladder"] = {
+            "n": int(_stat["n"] or 0),
+            "max_abs": round(float(_stat["mx"] or 0.0), 6),
+            "micro": pi_micro_for(
+                int(_stat["n"] or 0), float(_stat["mx"] or 0.0), 64
+            ),
+        }
+        print(f"[soak] pi_micro_ladder: {results['pi_micro_ladder']}", flush=True)
+    except Exception:
+        traceback.print_exc()
+        results["pi_micro_ladder"] = {"err": traceback.format_exc()[-300:]}
+
     # Bench headliners again at max accumulated session state.
 
     headliners = sorted(n for n, q in REGISTRY.items() if q.bench)
@@ -268,6 +299,44 @@ def main() -> int:
                 flush=True,
             )
         peak_rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+        # Memory ATTRIBUTION (VERDICT r9 item 6): local-mode RSS lumps
+        # "driver" and "executors" into one JVM, so a single number
+        # can't support a real-cluster extrapolation. Decompose:
+        # - python_driver_peak_rss_mb: THIS process — the only place
+        #   collected result rows ever live, i.e. the true driver-side
+        #   result footprint (plus the interpreter baseline);
+        # - jvm_peak_rss_mb (VmHWM): the local[N] JVM = executor
+        #   execution/storage memory for all N threads + the ~O(1)
+        #   scheduler state a real cluster's driver would keep;
+        # - jvm_heap_used_end_mb / jvm_heap_max_mb: end-of-run heap vs
+        #   ceiling — how much of the RSS is live data vs GC headroom;
+        # - max_collected_rows: the largest single .collect() of the
+        #   run — bounds the per-query driver result footprint.
+        mem_attrib: dict = {"python_driver_peak_rss_mb": peak_rss_mb}
+        try:
+            jvm = spark.sparkContext._jvm
+            jvm_pid = int(
+                jvm.java.lang.ProcessHandle.current().pid()
+            )
+            with open(f"/proc/{jvm_pid}/status") as pf:
+                for line in pf:
+                    if line.startswith("VmHWM:"):
+                        mem_attrib["jvm_peak_rss_mb"] = (
+                            int(line.split()[1]) // 1024
+                        )
+                        break
+            rt = jvm.java.lang.Runtime.getRuntime()
+            mem_attrib["jvm_heap_used_end_mb"] = int(
+                (rt.totalMemory() - rt.freeMemory()) // (1024 * 1024)
+            )
+            mem_attrib["jvm_heap_max_mb"] = int(
+                rt.maxMemory() // (1024 * 1024)
+            )
+        except Exception as exc:  # attribution must never fail the soak
+            mem_attrib["jvm_probe_err"] = f"{type(exc).__name__}: {exc}"[:200]
+        mem_attrib["max_collected_rows"] = max(
+            (v.get("rows", 0) for v in results.values()), default=0
+        )
         with open(out_path, "w") as f:
             json.dump(
                 {
@@ -278,6 +347,7 @@ def main() -> int:
                     "failures": failures,
                     "wall_s": round(total, 1),
                     "peak_driver_rss_mb": peak_rss_mb,
+                    "memory_attribution": mem_attrib,
                     "queries": results,
                 },
                 f,
