@@ -210,7 +210,7 @@ def embedding_neardup_pairs(
 def embedding_neardup_pairs_gram(
     corpus: DataFrame, threshold: float = 0.35,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    block_bits: int = 4,
+    block_bits: int = 4, max_block: int = 2048,
 ) -> DataFrame:
     """Blocked embedding near-dup with a per-block BLAS Gram matrix —
     the vectorized verify stage for :func:`embedding_neardup_pairs`.
@@ -222,18 +222,38 @@ def embedding_neardup_pairs_gram(
     the expression variant compares pairs via Catalyst higher-order
     functions — ~2*d interpreted lambda calls PER PAIR, which at sf1
     (20k vectors, b=4 → ~12M pairs) is the one genuinely
-    compute-bound gap in the bench. Here each block becomes ONE
-    ``applyInPandas`` group: rows → a (n_block, d) float matrix, the
+    compute-bound gap in the bench. Here each group becomes ONE
+    ``applyInPandas`` task: rows → a (n, d) float matrix, the
     normalized Gram ``X̂ X̂ᵀ`` in one BLAS call, and only the
-    upper-triangle entries above threshold come back — the per-pair
-    cost drops from interpreted lambdas to a fused dgemm, and nothing
-    but surviving pairs crosses Arrow.
+    entries above threshold come back — the per-pair cost drops from
+    interpreted lambdas to a fused dgemm, and nothing but surviving
+    pairs crosses Arrow.
 
-    Scale shape: one shuffle on the block key (same as the join the
-    expression variant does), per-block memory n_block*d + the n_block²
-    Gram — exactly the quantity ``block_bits`` already exists to bound
-    (grow b with the corpus; ~60-row blocks at b=24 for 10^9 vectors
-    keep the Gram trivial).  Measured at sf1 (20k vectors, b=4, 149k pairs): 21.8 s → 0.75 s warm."""
+    Per-task memory is BOUNDED regardless of block skew: a sign block
+    larger than ``max_block`` rows is split into ``nc = ceil(n /
+    max_block)`` deterministic sub-chunks (``xxhash64(id) % nc``) and
+    its pair work tiles over the ``nc*(nc+1)/2`` chunk pairs — each
+    row is shuffled to exactly ``nc`` (block, ci<=cj) groups, diagonal
+    groups compute their upper triangle, off-diagonal groups the cross
+    Gram, so every within-block pair lands in EXACTLY one task and no
+    task ever holds more than ``2*max_block`` rows (a <=max_block²
+    Gram tile, ~33 MB at the 2048 default). This is what makes the
+    operator survive the boilerplate/replica corpora where sign
+    patterns collapse: at sf3 the tiled embeddings put ~30k rows in
+    one block — a ~7 GB Gram in a single Python worker before
+    chunking (measured: 10.2 s best with 59% run spread), ~33 MB
+    tiles after (1.8-2.4 s, stable; 2048 beat 4096 2-3x at sf3 —
+    fine tiles both balance 32 workers and keep each task's fresh
+    numpy allocation inside the page-fault-cheap range).
+    Blocks under ``max_block`` take the nc=1 fast path: one group per
+    block, zero replication — the sf0.01 plan is unchanged.
+
+    Scale shape: one shuffle on (block, chunk-pair); replication of a
+    skewed block grows only with sqrt of its pair count (nc per row).
+    Measured at sf1 (20k vectors, b=4, 149k pairs): 21.8 s → 0.75 s
+    warm vs the expression variant."""
+    import math
+
     import numpy as np
     import pandas as pd
 
@@ -248,24 +268,86 @@ def embedding_neardup_pairs_gram(
         F.col(vec_col).cast("array<double>").alias("v"),
         key.alias("__block"),
     )
+    # Per-block chunk counts: one tiny aggregate (<= 2^block_bits rows)
+    # collected driver-side, compiled back in as a literal map — the
+    # same bounded-collect pattern as the IVF centroid probe.
+    sizes = {
+        r["__block"]: int(r["n"])
+        for r in blocked.groupBy("__block").agg(F.count("*").alias("n")).collect()
+    }
+    nc_by_block = {
+        b: max(1, math.ceil(n / max_block)) for b, n in sizes.items()
+    }
+    if nc_by_block and max(nc_by_block.values()) > 1:
+        nc = F.element_at(
+            F.create_map(
+                *[
+                    F.lit(x)
+                    for b, n in sorted(nc_by_block.items())
+                    for x in (b, n)
+                ]
+            ),
+            F.col("__block"),
+        )
+    else:
+        nc = F.lit(1)
+    chunk = F.pmod(F.xxhash64("id"), nc).cast("int")
+    tiled = (
+        blocked.withColumn("__c", chunk)
+        .withColumn(
+            "__o",
+            F.explode(F.sequence(F.lit(0), nc - 1)),
+        )
+        .select(
+            "id",
+            "v",
+            "__block",
+            "__c",
+            F.least("__c", "__o").alias("__ci"),
+            F.greatest("__c", "__o").alias("__cj"),
+        )
+    )
 
-    def gram(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf["id"].to_numpy()
-        x = np.stack(pdf["v"].to_numpy())
-        norms = np.linalg.norm(x, axis=1)
-        norms[norms == 0.0] = 1.0
-        g = (x / norms[:, None]) @ (x / norms[:, None]).T
-        iu, ju = np.triu_indices(len(ids), k=1)
-        # id_a < id_b regardless of within-block row order
-        ia, jb = ids[iu], ids[ju]
+    def _pairs(ia, jb, cs):
         lo, hi = np.minimum(ia, jb), np.maximum(ia, jb)
-        cs = np.round(g[iu, ju], 6)
+        cs = np.round(cs, 6)
         keep = cs >= threshold
         return pd.DataFrame(
             {"id_a": lo[keep], "id_b": hi[keep], "cos_sim": cs[keep]}
         )
 
-    return blocked.groupBy("__block").applyInPandas(
+    def gram(pdf: pd.DataFrame) -> pd.DataFrame:
+        ci, cj = int(pdf["__ci"].iloc[0]), int(pdf["__cj"].iloc[0])
+        if ci == cj:
+            ids = pdf["id"].to_numpy()
+            x = np.stack(pdf["v"].to_numpy())
+            norms = np.linalg.norm(x, axis=1)
+            norms[norms == 0.0] = 1.0
+            g = (x / norms[:, None]) @ (x / norms[:, None]).T
+            iu, ju = np.triu_indices(len(ids), k=1)
+            # id_a < id_b regardless of within-block row order
+            return _pairs(ids[iu], ids[ju], g[iu, ju])
+        a = pdf[pdf["__c"] == ci]
+        b = pdf[pdf["__c"] == cj]
+        if a.empty or b.empty:
+            return pd.DataFrame(
+                {"id_a": [], "id_b": [], "cos_sim": []}
+            ).astype({"id_a": "int64", "id_b": "int64", "cos_sim": "float64"})
+        xa = np.stack(a["v"].to_numpy())
+        xb = np.stack(b["v"].to_numpy())
+        na = np.linalg.norm(xa, axis=1)
+        nb = np.linalg.norm(xb, axis=1)
+        na[na == 0.0] = 1.0
+        nb[nb == 0.0] = 1.0
+        g = np.round((xa / na[:, None]) @ (xb / nb[:, None]).T, 6)
+        # filter BEFORE materializing index arrays: only surviving
+        # entries pay the int64 index cost, not the whole tile
+        ii, jj = np.nonzero(g >= threshold)
+        return _pairs(
+            a["id"].to_numpy()[ii], b["id"].to_numpy()[jj], g[ii, jj]
+        )
+
+    return tiled.groupBy("__block", "__ci", "__cj").applyInPandas(
         gram, "id_a long, id_b long, cos_sim double"
     )
 

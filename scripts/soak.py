@@ -96,7 +96,15 @@ def main() -> int:
         # Threshold is against COMPRESSED parquet bytes — the sf1 tiles
         # are ~240MB on disk but decompress to GBs in the fits, while
         # sf0.1 is ~17MB; 100MB separates the two regimes cleanly.
-        args.driver_memory = "24g" if input_bytes > 100 * 1024 * 1024 else "4g"
+        # Third tier for the sf10 probe (~1.3GB on disk): 3.3x the sf3
+        # inputs through the same one-JVM local[N] session; 48g keeps
+        # the decade scale-up off the GC cliff the 12g->24g jump fixed.
+        if input_bytes > 1024 * 1024 * 1024:
+            args.driver_memory = "48g"
+        elif input_bytes > 100 * 1024 * 1024:
+            args.driver_memory = "24g"
+        else:
+            args.driver_memory = "4g"
         print(
             f"[soak] input {input_bytes / 1e6:.0f} MB -> driver heap "
             f"{args.driver_memory}",

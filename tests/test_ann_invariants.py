@@ -129,6 +129,39 @@ def test_gram_neardup_matches_expression_variant(spark, sf_dir):
             )
 
 
+def test_gram_neardup_chunked_matches_unchunked(spark, sf_dir):
+    """Skew-bounding chunk tiling must be INVISIBLE in the output: a
+    tiny ``max_block`` forces every sign block through the multi-chunk
+    (ci<=cj) tile path, and the pair set + 6-dp cos_sim must equal the
+    single-task path's exactly (each within-block pair lands in exactly
+    one diagonal or cross tile — no drops, no duplicates)."""
+    from orx_surgical_spark.operators.similarity import (
+        embedding_neardup_pairs_gram,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    one = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in embedding_neardup_pairs_gram(
+            emb, 0.35, block_bits=4, max_block=1 << 30
+        ).collect()
+    }
+    chunked_df = embedding_neardup_pairs_gram(
+        emb, 0.35, block_bits=4, max_block=16
+    )
+    rows = chunked_df.collect()
+    chunked = {(r.id_a, r.id_b): r.cos_sim for r in rows}
+    assert len(rows) == len(chunked)  # no duplicate pairs across tiles
+    assert set(one) == set(chunked)
+    for k in one:
+        if one[k] != chunked[k]:
+            # same 1-ulp-at-6dp fallback as the expression-parity test:
+            # tile-shaped dgemm can flip a 6th-decimal rounding boundary
+            assert abs(one[k] - chunked[k]) <= 1e-6 + 1e-12, (
+                k, one[k], chunked[k],
+            )
+
+
 def test_random_projection_jl_distortion(spark, sf_dir):
     """JL sanity on the fixed matrix + fixed data (fully deterministic):
     the Achlioptas projection is norm-unbiased in aggregate — the mean
