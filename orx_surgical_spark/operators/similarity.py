@@ -255,7 +255,7 @@ def embedding_neardup_pairs_gram(
     import math
 
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
 
     key = F.concat(
         *[
@@ -308,46 +308,59 @@ def embedding_neardup_pairs_gram(
         )
     )
 
-    def _pairs(ia, jb, cs):
+    def _pairs(ia, jb, cs) -> "pa.Table":
         lo, hi = np.minimum(ia, jb), np.maximum(ia, jb)
-        cs = np.round(cs, 6)
-        keep = cs >= threshold
-        return pd.DataFrame(
-            {"id_a": lo[keep], "id_b": hi[keep], "cos_sim": cs[keep]}
+        return pa.table(
+            {
+                "id_a": pa.array(lo, pa.int64()),
+                "id_b": pa.array(hi, pa.int64()),
+                "cos_sim": pa.array(cs, pa.float64()),
+            }
         )
 
-    def gram(pdf: pd.DataFrame) -> pd.DataFrame:
-        ci, cj = int(pdf["__ci"].iloc[0]), int(pdf["__cj"].iloc[0])
+    # Arrow-native kernel (applyInArrow, not applyInPandas): the
+    # embedding column arrives as one contiguous list<double> buffer,
+    # so the (n, d) matrix is a single reshape — no per-row Python
+    # object materialization. The pandas path built every row as a
+    # boxed list (np.stack over an object column): ~3x the per-task
+    # allocation volume, and the dominant source of the 20-40% run-
+    # to-run jitter the bench's quiet gate kept tripping on at sf3.
+    def gram(tbl: "pa.Table") -> "pa.Table":
+        ci = tbl.column("__ci")[0].as_py()
+        cj = tbl.column("__cj")[0].as_py()
+        ids = tbl.column("id").to_numpy()
+        flat = (
+            tbl.column("v").combine_chunks().flatten()
+            .to_numpy(zero_copy_only=False)
+        )
+        n = len(ids)
+        x = flat.reshape(n, flat.size // n)
+        norms = np.linalg.norm(x, axis=1)
+        norms[norms == 0.0] = 1.0
+        xh = x / norms[:, None]
         if ci == cj:
-            ids = pdf["id"].to_numpy()
-            x = np.stack(pdf["v"].to_numpy())
-            norms = np.linalg.norm(x, axis=1)
-            norms[norms == 0.0] = 1.0
-            g = (x / norms[:, None]) @ (x / norms[:, None]).T
-            iu, ju = np.triu_indices(len(ids), k=1)
-            # id_a < id_b regardless of within-block row order
-            return _pairs(ids[iu], ids[ju], g[iu, ju])
-        a = pdf[pdf["__c"] == ci]
-        b = pdf[pdf["__c"] == cj]
-        if a.empty or b.empty:
-            return pd.DataFrame(
-                {"id_a": [], "id_b": [], "cos_sim": []}
-            ).astype({"id_a": "int64", "id_b": "int64", "cos_sim": "float64"})
-        xa = np.stack(a["v"].to_numpy())
-        xb = np.stack(b["v"].to_numpy())
-        na = np.linalg.norm(xa, axis=1)
-        nb = np.linalg.norm(xb, axis=1)
-        na[na == 0.0] = 1.0
-        nb[nb == 0.0] = 1.0
-        g = np.round((xa / na[:, None]) @ (xb / nb[:, None]).T, 6)
+            g = np.round(xh @ xh.T, 6)
+            # strict upper triangle: id_a < id_b regardless of
+            # within-block row order, every unordered pair once
+            keep = g >= threshold
+            keep[np.tril_indices(n)] = False
+            ii, jj = np.nonzero(keep)
+            return _pairs(ids[ii], ids[jj], g[ii, jj])
+        c = tbl.column("__c").to_numpy()
+        a = c == ci
+        b = c == cj
+        if not a.any() or not b.any():
+            return _pairs(
+                np.empty(0, np.int64), np.empty(0, np.int64),
+                np.empty(0, np.float64),
+            )
+        g = np.round(xh[a] @ xh[b].T, 6)
         # filter BEFORE materializing index arrays: only surviving
         # entries pay the int64 index cost, not the whole tile
         ii, jj = np.nonzero(g >= threshold)
-        return _pairs(
-            a["id"].to_numpy()[ii], b["id"].to_numpy()[jj], g[ii, jj]
-        )
+        return _pairs(ids[a][ii], ids[b][jj], g[ii, jj])
 
-    return tiled.groupBy("__block", "__ci", "__cj").applyInPandas(
+    return tiled.groupBy("__block", "__ci", "__cj").applyInArrow(
         gram, "id_a long, id_b long, cos_sim double"
     )
 
