@@ -202,7 +202,20 @@ def main() -> None:
         )
         wait_for_quiet_box(max_load, wait_budget)
         pre_retry_failures = set(failures)
-        retry = timed_lap(offenders, runs)
+        # Retry runs each offender CONSECUTIVELY, not interleaved: the
+        # spread gate certifies that the reported best is reproducible
+        # — per-query steady state — and at probe SFs (>=sf3, ~GB of
+        # input through one JVM) an interleaved retry re-times each
+        # offender amid exactly the page-cache/GC churn of its heavy
+        # neighbors that tripped the gate in the first place (measured
+        # at sf3: the same query 11% spread back-to-back vs 29%
+        # interleaved). The FIRST lap stays interleaved on purpose —
+        # min-of-N there is what defends the headline times against
+        # transient spikes; the retry exists only to separate "this
+        # query's time is not reproducible" from "the lap was noisy".
+        retry: dict[str, list[float]] = {}
+        for name in offenders:
+            retry.update(timed_lap([name], runs))
         # A query that errors ONLY during the retry lap keeps its valid
         # first-lap timings: the retry exists to reduce noise, not to
         # erase a good steady-state measurement with a transient crash.
@@ -319,6 +332,9 @@ def main() -> None:
                     or max(spreads.values()) * 100 <= spread_threshold
                 ),
                 "retried": sorted(retried),
+                # how retried queries were re-timed (see retry-lap
+                # comment): consecutive per-query steady-state runs
+                "retry_mode": "consecutive",
                 "worst_run_pct": {n: round(w * 100, 1) for n, w in worst.items()},
                 "loadavg_1m": round(load_at_start, 2),
                 "loadavg_after": round(os.getloadavg()[0], 2),
