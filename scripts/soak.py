@@ -43,6 +43,36 @@ import traceback
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+def err_summary(exc: BaseException | None = None) -> str:
+    """Root-cause-first exception capture (VERDICT r10 item 3: the sf10
+    ``panel_text_fingerprint`` failure recorded only the TAIL of a Java
+    stack — thread-pool frames — and the causal line was truncated
+    away, leaving the failure undiagnosable from the artifact).
+
+    Keeps, in order: the exception type + the HEAD of its message (for
+    Py4J errors that head is the driver-side root line, e.g. ``Job
+    aborted due to stage failure: ... ``), every ``Caused by:`` line of
+    an embedded Java stack (the causal chain), and the last Python
+    frame. Bounded to ~2 KB so artifacts stay small but causal.
+    """
+    if exc is None:
+        exc = sys.exc_info()[1]
+    if exc is None:
+        return ""
+    msg = f"{type(exc).__name__}: {exc}"
+    parts = [msg[:1200]]
+    for line in str(exc).splitlines():
+        s = line.strip()
+        if s.startswith("Caused by") and s[:200] not in parts:
+            parts.append(s[:200])
+            if len(parts) >= 7:
+                break
+    frames = traceback.format_tb(exc.__traceback__)
+    if frames:
+        parts.append("last frame: " + frames[-1].strip()[:300])
+    return "\n".join(parts)[:2400]
+
+
 def artifact_path(json_out: str, n_failures: int, allow_red: bool) -> str:
     """Where a soak artifact may be written (VERDICT r6 'What's wrong'
     3: the r6 snapshot overwrote a green sf1 artifact with a crashed
@@ -151,7 +181,7 @@ def main() -> int:
         except Exception:
             traceback.print_exc()
             failures.append(name)
-            results[name] = {"err": traceback.format_exc()[-300:]}
+            results[name] = {"err": err_summary()}
             print(f"[soak] {i:2d}/{len(qs)} {name}: FAILED", flush=True)
 
     # Quality-gate verification: the exposed loop above only proves the
@@ -199,7 +229,7 @@ def main() -> int:
         except Exception:
             traceback.print_exc()
             failures.append(f"gate/{name}")
-            results[f"gate/{name}"] = {"err": traceback.format_exc()[-300:]}
+            results[f"gate/{name}"] = {"err": err_summary()}
 
     # Scale-golden drift check (VERDICT r8 item 6): the engine-exact
     # generated-oracle queries are hash-checked against DuckDB at the
@@ -211,7 +241,12 @@ def main() -> int:
     for name in SCALE_GOLDEN_QUERIES:
         gpath = scale_golden_path(name, args.sf_dir)
         if not os.path.exists(gpath):
-            continue  # un-frozen SF: nothing to drift-check against
+            # un-frozen SF: record the skip explicitly (VERDICT r10 item
+            # 7 — the red sf10 artifact carried NO drift entries because
+            # the goldens were frozen after the run started, and the
+            # absence was indistinguishable from a dropped check).
+            results[f"drift/{name}"] = {"skipped": f"no frozen golden {gpath}"}
+            continue
         t = time.monotonic()
         try:
             import pandas as pd
@@ -240,7 +275,7 @@ def main() -> int:
         except Exception:
             traceback.print_exc()
             failures.append(f"drift/{name}")
-            results[f"drift/{name}"] = {"err": traceback.format_exc()[-300:]}
+            results[f"drift/{name}"] = {"err": err_summary()}
 
     # Power-iteration micro-ladder observation (VERDICT r9 item 4):
     # record the input-derived quantization unit the PCA primitive
@@ -271,7 +306,7 @@ def main() -> int:
         print(f"[soak] pi_micro_ladder: {results['pi_micro_ladder']}", flush=True)
     except Exception:
         traceback.print_exc()
-        results["pi_micro_ladder"] = {"err": traceback.format_exc()[-300:]}
+        results["pi_micro_ladder"] = {"err": err_summary()}
 
     # Bench headliners again at max accumulated session state.
 
@@ -291,7 +326,7 @@ def main() -> int:
         except Exception:
             traceback.print_exc()
             failures.append(f"late/{name}")
-            results[f"late/{name}"] = {"err": traceback.format_exc()[-300:]}
+            results[f"late/{name}"] = {"err": err_summary()}
 
     total = time.monotonic() - t0
     if args.json_out:
@@ -356,6 +391,22 @@ def main() -> int:
                     "wall_s": round(total, 1),
                     "peak_driver_rss_mb": peak_rss_mb,
                     "memory_attribution": mem_attrib,
+                    # Explicit evidence sections red-or-green (VERDICT
+                    # r10 item 7: the red sf10 artifact lost the gate
+                    # values / drift booleans / ladder observation with
+                    # the red exit) — duplicated out of `queries` so a
+                    # reader never has to know the key-prefix scheme.
+                    "gates": {
+                        k.split("/", 1)[1]: v
+                        for k, v in results.items()
+                        if k.startswith("gate/")
+                    },
+                    "drift": {
+                        k.split("/", 1)[1]: v
+                        for k, v in results.items()
+                        if k.startswith("drift/")
+                    },
+                    "pi_micro_ladder": results.get("pi_micro_ladder"),
                     "queries": results,
                 },
                 f,

@@ -31,13 +31,42 @@ def test_committed_soak_artifacts_cited_as_evidence_are_green():
 
     root = os.path.join(os.path.dirname(__file__), "..")
     for name in sorted(os.listdir(root)):
-        if name.startswith("SOAK_") and name.endswith(".json"):
+        if (
+            name.startswith("SOAK_")
+            and name.endswith(".json")
+            # a *.failed.json is the DIVERSION target — it exists
+            # precisely to hold a red run without posing as evidence
+            # (gitignored; advisor r10 low finding)
+            and not name.endswith(".failed.json")
+        ):
             with open(os.path.join(root, name)) as f:
                 art = json.load(f)
             assert art.get("n_failures") == 0, (
                 f"{name} is red (n_failures={art.get('n_failures')}): "
                 "a failing artifact must not be committed as evidence"
             )
+
+
+def test_err_summary_keeps_root_cause_head_and_causal_chain():
+    """VERDICT r10 item 3: the sf10 failure artifact held only the tail
+    of a Java stack (thread-pool frames); the summary must keep the
+    exception head and the Caused-by chain instead."""
+    java_stack = (
+        "An error occurred while calling o123.collectToPython.\n"
+        ": org.apache.spark.SparkException: Job aborted due to stage "
+        "failure: Task 3 in stage 7.0 failed 1 times\n"
+        + "\tat filler.Frame.run(Frame.java:1)\n" * 200
+        + "Caused by: java.lang.OutOfMemoryError: Java heap space\n"
+        + "\tat java.base/java.util.concurrent.ThreadPoolExecutor"
+        ".runWorker(ThreadPoolExecutor.java:1136)\n"
+    )
+    try:
+        raise RuntimeError(java_stack)
+    except RuntimeError as exc:
+        s = soak.err_summary(exc)
+    assert "Job aborted due to stage failure" in s
+    assert "Caused by: java.lang.OutOfMemoryError" in s
+    assert len(s) <= 2400
 
 
 def test_readme_cited_soak_artifacts_exist_and_are_green():
