@@ -379,12 +379,46 @@ def ngram_jaccard_pairs_prefix(
     order, so this returns byte-identically the naive operator's rows —
     pinned by ``tests/test_dedup.py`` against the registry-internal
     quadratic baseline, and the DuckDB oracle stays the naive spec.
+
+    r11 — identical-set grouping ahead of the prefix join: the r10 sf10
+    soak died here with ``No space left on device`` (measured 81.7 GB
+    of shuffle spill standalone): on a duplicate-heavy corpus every
+    copy of a text shares the same rare prefix shingles, so the
+    (block, prefix-token) candidate buckets grow with the DUPLICATION
+    factor and the join revisits each duplicate pair once per shared
+    prefix token — quadratic in copies. Deduplicating on the exact
+    shingle SET first (md5 of the sorted distinct shingles, one narrow
+    groupBy) runs the candidate/verify machinery on one representative
+    per distinct set (sf10: 4,992 reps for 500,000 docs), then expands
+    verified representative pairs back to doc pairs with two
+    output-sized equi-joins; same-set pairs are exactly J = 1.0 by
+    definition and come from a bounded self-equi-join on the set key.
+    Output stays byte-identical to the naive spec; candidate-join
+    volume becomes a function of CONTENT diversity, not corpus size —
+    the property that holds at 100 TB, where dup factors of 10-100x
+    are the norm for web corpora.
     """
     blk = [F.col(block_col)] if block_col else []
-    sh = df.select(
+    sh0 = df.select(
         F.col(id_col), *blk,
         F.array_distinct(shingles(tokens(text_col), n)).alias("sh"),
     ).filter(F.size("sh") > 0)
+
+    # Group identity: block + exact shingle set. \x01/\x02 cannot occur
+    # inside whitespace-tokenized shingles.
+    set_key = F.md5(F.concat_ws("\x01", F.sort_array("sh")))
+    rid_cols = ([F.col(block_col).cast("string")] if block_col else []) + [set_key]
+    docs = sh0.withColumn("__rid", F.concat_ws("\x02", *rid_cols))
+    members = docs.select(F.col(id_col).alias("__mid"), "__rid")
+    # One representative row per distinct (block, set); the rid string
+    # takes over the id column so the candidate/verify machinery below
+    # runs unchanged (string '<' is a valid total order for the
+    # unordered-pair dedup).
+    sh = (
+        docs.groupBy(*blk, "__rid")
+        .agg(F.first("sh").alias("sh"))
+        .select(F.col("__rid").alias(id_col), *blk, "sh")
+    )
 
     toks = sh.select(
         F.col(id_col), *blk, F.explode("sh").alias("tok")
@@ -430,15 +464,44 @@ def ngram_jaccard_pairs_prefix(
 
     sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
-    out = (
+    rep_pairs = (
         cand.join(sh_a, "id_a")
         .join(sh_b, "id_b")
         .select(
             "id_a", "id_b",
             F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
         )
+    ).filter(F.col("jaccard") >= threshold)
+
+    # Expand verified representative pairs back to doc pairs — two
+    # output-sized equi-joins on the set key; cross-group doc ids carry
+    # no ordering guarantee, so least/greatest restores id_a < id_b.
+    ma = members.select(F.col("__rid").alias("id_a"), F.col("__mid").alias("__da"))
+    mb = members.select(F.col("__rid").alias("id_b"), F.col("__mid").alias("__db"))
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("__da", "__db").alias("id_a"),
+            F.greatest("__da", "__db").alias("id_b"),
+            "jaccard",
+        )
     )
-    return out.filter(F.col("jaccard") >= threshold)
+    if threshold > 1.0:
+        return cross
+    # Same set => J is exactly 1.0: a bounded self-equi-join on the set
+    # key, never through the candidate machinery.
+    intra = (
+        members.alias("x")
+        .join(members.alias("y"), "__rid")
+        .where(F.col("x.__mid") < F.col("y.__mid"))
+        .select(
+            F.col("x.__mid").alias("id_a"),
+            F.col("y.__mid").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(intra)
 
 
 # ---------------------------------------------------------------------------

@@ -2,7 +2,7 @@
 
 The grading driver's correctness gate checks at most ~50 queries per
 round (round 1 recorded exactly the first 50 catalog names
-alphabetically), while the full registry declares 205 fine-grained
+alphabetically), while the full registry declares 206 fine-grained
 entries. To get EVERY SURVEY §2 operator a driver-green row, the
 driver-facing surface (``__spark_entry__.queries()``) exposes:
 
@@ -17,7 +17,7 @@ driver-facing surface (``__spark_entry__.queries()``) exposes:
   identical serialization + digest arithmetic to each member's oracle
   SQL.
 
-The internal registry keeps all 205 fine-grained entries: tests and
+The internal registry keeps all 206 fine-grained entries: tests and
 ``bench.py`` keep their per-operator resolution.
 
 Exception: the two quadratic exact baselines in ``REGISTRY_INTERNAL``
@@ -31,8 +31,14 @@ CartesianProduct).
 from __future__ import annotations
 
 # Exposed standalone (bench headliners + flagship + rows-only graph op).
+# batch_inference_scores / embedding_neardup_blocked / minhash_candidates
+# moved to panel_bulk_certificates (r11): their results are O(corpus)
+# relations (10 M / 15.8 M / 31.5 M rows at the sf10 probe — 12.9 GB of
+# python-driver RSS replaying the driver's collect), so the exposed
+# surface hands out their digest certificate instead; the full-relation
+# entries stay registry-internal-facing (bench.py and tests keep
+# per-operator resolution, and bench never collects).
 EXPOSED_STANDALONE: tuple[str, ...] = (
-    "batch_inference_scores",
     "corpus_curation_summary",
     "cosine_topk",
     "dedup_exact",
@@ -40,9 +46,7 @@ EXPOSED_STANDALONE: tuple[str, ...] = (
     "doc_graph_pagerank",
     "doc_repetition_stats",
     "embedding_quantize_int8",
-    "embedding_neardup_blocked",
     "mhe_sparse_indices",
-    "minhash_candidates",
     "pack_sequences_summary",
     "pricing_summary",
     "q7_volume_shipping",
@@ -273,6 +277,18 @@ ORACLE_PANELS: dict[str, tuple[str, ...]] = {
     # (recall floors, sampling bands, sketch error bands) it expects to
     # be uniformly true. The driver hash now covers ANN/sketch QUALITY,
     # which the old rows-only check could not see.
+    # r11 (VERDICT r10 item 5): the headliners whose natural results
+    # are O(corpus) relations. A consumer of the driver surface should
+    # receive the fixed-size digest certificate (count + two 60-bit
+    # md5-chunk sums over every canonical row), not a 10-31 M row
+    # collect; the full relations remain first-class registry entries
+    # for bench (noop-sink timed) and tests. embedding_neardup_blocked
+    # (15.8 M rows at sf10) lost its standalone exposure the same way
+    # but was already digest-covered as a panel_similarity member.
+    "panel_bulk_certificates": (
+        "batch_inference_scores",
+        "minhash_candidates",
+    ),
     "panel_ann": (
         "ann_ivf_recall",
         "ann_lsh_recall",

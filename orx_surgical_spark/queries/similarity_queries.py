@@ -206,16 +206,20 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kNN graph (multi-round sign-block BLAS Gram build, symmetrized, "
         "degree-capped) — the HNSW/DiskANN-family serve tier batched per "
         "hop over all queries. Fully deterministic (no MLlib seeds); "
-        "measured recall@5 1.0/0.98/0.86/0.80 at sf0.001/0.01/0.1/1 "
-        "against exact cosine_topk, gated by ann_graph_recall (floor "
-        "0.6). Build: n_rounds block shuffles + one degree-cap shuffle; "
-        "serve: frontier-sized equi-joins only, bounded hops.",
+        "build rounds / beam / hops / entry set derive from corpus size "
+        "(similarity.knn_graph_effort, r11 — the r10 fixed parameters "
+        "decayed recall through the 0.6 floor at sf10: measured "
+        "1.0/0.98/0.86/0.80/0.38 at sf0.001/0.01/0.1/1/10 fixed vs 1.00 "
+        "at sf10 derived; graded SFs are the s=0 notch, bit-identical "
+        "to r10). Gated by ann_graph_recall. Build: n_rounds block "
+        "shuffles + one degree-cap shuffle; serve: frontier-sized "
+        "equi-joins only, bounded hops.",
     tags=("similarity", "ann", "graph"),
 )
 def ann_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 10)
-    return S.ann_graph_topk(emb, queries, k=5, m=12, beam=32, hops=4)
+    return S.ann_graph_topk(emb, queries, k=5, m=12)
 
 
 @register(

@@ -308,18 +308,23 @@ def main() -> int:
         traceback.print_exc()
         results["pi_micro_ladder"] = {"err": err_summary()}
 
-    # Bench headliners again at max accumulated session state.
-
+    # Bench headliners again at max accumulated session state. Timed
+    # through the same noop sink as bench.py (r11): the late lap exists
+    # to measure plan stability under accumulated state, and collecting
+    # the O(corpus) relations here re-created exactly the driver-RSS
+    # footprint the digest-certificate exposure removed.
     headliners = sorted(n for n, q in REGISTRY.items() if q.bench)
     for name in headliners:
         t = time.monotonic()
         try:
-            rows = REGISTRY[name].fn(spark, args.sf_dir).collect()
+            REGISTRY[name].fn(spark, args.sf_dir).write.format(
+                "noop"
+            ).mode("overwrite").save()
             results[f"late/{name}"] = {
-                "rows": len(rows), "s": round(time.monotonic() - t, 2)
+                "s": round(time.monotonic() - t, 2)
             }
             print(
-                f"[soak] late/{name}: {len(rows)} rows "
+                f"[soak] late/{name}: ok "
                 f"({time.monotonic() - t:.1f}s)",
                 flush=True,
             )

@@ -515,3 +515,30 @@ def test_pq_recall_floor(frames, spark, sf_dir):
     gate ann_pq_recall floors at 0.6."""
     pq = REGISTRY["ann_pq_topk"].fn(spark, sf_dir).toPandas()
     assert _recall_at_k(pq, frames["exact"]) >= 0.8
+
+
+def test_knn_graph_effort_ladder():
+    """Input-derived graph-ANN effort (VERDICT r10 item 2): below the
+    2^block_bits * max_block blocking capacity the ladder reproduces
+    the r10 fixed parameters EXACTLY (graded SFs / sf1 / sf3 are
+    bit-identical to the round that measured recall 1.0/0.98/0.86/
+    0.80), and past capacity every effort axis grows monotonically with
+    the corpus — the sf10 notch (s=2) is the measured-green 0.76
+    configuration."""
+    from orx_surgical_spark.operators import similarity as S
+
+    base = {"n_rounds": 2, "beam": 32, "hops": 4, "entry_bits": 4}
+    for n in (0, 1, 500, 2_000, 20_000, 60_000, 65_536):
+        assert S.knn_graph_effort(n) == base, n
+    sf10 = S.knn_graph_effort(200_000)
+    assert sf10 == {"n_rounds": 6, "beam": 64, "hops": 5, "entry_bits": 6}
+    prev = base
+    for n in (200_000, 2_000_000, 20_000_000, 2_000_000_000):
+        eff = S.knn_graph_effort(n)
+        for k in prev:
+            assert eff[k] >= prev[k], (n, k)
+        prev = eff
+    # rounds are bounded by the disjoint dim slices available; entry
+    # bits by the 2^10 seed cap
+    huge = S.knn_graph_effort(10**15, dim=64)
+    assert huge["n_rounds"] <= 16 and huge["entry_bits"] <= 10
