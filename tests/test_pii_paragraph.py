@@ -334,3 +334,30 @@ def test_exact_substring_short_docs_emit_zero(spark):
     assert out[1]["n_dup_tokens"] == 0 and out[1]["n_tokens"] == 2
     assert out[2]["n_dup_tokens"] == 0
     assert out[3]["n_dup_tokens"] == 0
+
+
+def test_exact_substring_stride_is_lower_bound_and_phase_aligned(spark):
+    """The r11 stride knob: stride=1 stays the exact tier; stride=s
+    samples window starts, so every reported count is a LOWER bound of
+    the exact one, and a phase-aligned repeat (both occurrences at
+    offset 0, length >= k + s - 1) is still fully detected."""
+    docs = [
+        (1, "p q r s t u v w a b"),  # run p..w (8 toks) at offset 0
+        (2, "p q r s t u v w c d"),  # same run at offset 0 (aligned)
+        (3, "zz yy xx ww vv uu tt ss"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    exact = {r["doc_id"]: r for r in D.exact_substring_coverage(df, k=3).collect()}
+    s2 = {r["doc_id"]: r for r in D.exact_substring_coverage(df, k=3, stride=2).collect()}
+    for d in (1, 2, 3):
+        assert s2[d]["n_dup_tokens"] <= exact[d]["n_dup_tokens"]
+        assert s2[d]["n_tokens"] == exact[d]["n_tokens"]
+    # aligned repeat: stride-2 samples starts 0,2,4 of the 6 shared
+    # 3-gram starts -> windows [0,3),[2,5),[4,7) merge to cover 0..6;
+    # the exact tier covers the full 8-token run
+    assert exact[1]["n_dup_tokens"] == 8 and exact[1]["n_dup_spans"] == 1
+    assert s2[1]["n_dup_tokens"] == 7 and s2[1]["n_dup_spans"] == 1
+    import pytest
+
+    with pytest.raises(ValueError):
+        D.exact_substring_coverage(df, k=3, stride=0)
