@@ -399,3 +399,29 @@ def test_exact_substring_coverage_plan_shape(spark, sf_dir):
     assert "LeftSemi" in plan
     assert "windowspecdefinition(doc_id" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_neardup_gram_small_corpus_single_exchange(spark, sf_dir):
+    """Small-corpus cutover (r11): when the corpus fits in one tile
+    (n <= max_block), the blocked Gram near-dup must plan exactly ONE
+    exchange (the groupBy-block shuffle into the Arrow kernel) — no
+    census aggregate, no broadcast join, no explode replication. The
+    census-tiled path keeps its extra aggregate exchange."""
+    from orx_surgical_spark.operators.similarity import (
+        embedding_neardup_pairs_gram,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    direct = plan_str(
+        embedding_neardup_pairs_gram(emb, 0.35, block_bits=4), "simple"
+    )
+    assert direct.count("Exchange") == 1, direct
+    assert "Join" not in direct and "explode" not in direct
+    tiled = plan_str(
+        embedding_neardup_pairs_gram(
+            emb, 0.35, block_bits=4, small_cutover=False
+        ),
+        "simple",
+    )
+    assert tiled.count("Exchange") >= 2, tiled
+    assert "explode" in tiled
