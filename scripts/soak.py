@@ -308,6 +308,29 @@ def main() -> int:
         traceback.print_exc()
         results["pi_micro_ladder"] = {"err": err_summary()}
 
+    # Observed ANN recall per serve tier (r11): the gate loop above
+    # records only the boolean verdicts; record the measured mean
+    # recall@5 values too, so the per-SF trend lands in the artifact
+    # itself (VERDICT r10 item 2 asked for the trend, not just the
+    # verdict — scripts/ann_recall_trend.py is the cross-SF sweep,
+    # this is the single-SF observation inside the soak's session).
+    try:
+        from ann_recall_trend import ANN_TIERS, measured_recall
+
+        obs: dict = {}
+        for raw, method in ANN_TIERS.items():
+            t = time.monotonic()
+            obs[method] = round(measured_recall(spark, args.sf_dir, raw), 4)
+            print(
+                f"[soak] recall/{method}: {obs[method]} "
+                f"({time.monotonic() - t:.1f}s)",
+                flush=True,
+            )
+        results["ann_recall_observed"] = obs
+    except Exception:
+        traceback.print_exc()
+        results["ann_recall_observed"] = {"err": err_summary()}
+
     # Bench headliners again at max accumulated session state. Timed
     # through the same noop sink as bench.py (r11): the late lap exists
     # to measure plan stability under accumulated state, and collecting
@@ -412,6 +435,9 @@ def main() -> int:
                         if k.startswith("drift/")
                     },
                     "pi_micro_ladder": results.get("pi_micro_ladder"),
+                    "ann_recall_observed": results.get(
+                        "ann_recall_observed"
+                    ),
                     "queries": results,
                 },
                 f,
