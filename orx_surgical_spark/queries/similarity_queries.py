@@ -178,7 +178,12 @@ def embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "dedup", "embedding"),
 )
 def embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
+    # No ensure_min_partitions here (r11): the plan's first real step is
+    # the groupBy(block) shuffle, which redistributes regardless — a
+    # pre-repartition only adds a full-corpus exchange, and it turns the
+    # small-corpus cutover's count() probe from a parquet-footer read
+    # into a shuffle job (measured at sf3: 2.8 s -> 1.4 s removing it).
+    emb = load_table(spark, sf_dir, "embeddings")
     return S.embedding_neardup_pairs_gram(emb, threshold=0.35, block_bits=4)
 
 
