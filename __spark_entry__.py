@@ -28,7 +28,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     The driver's correctness gate checks at most ~50 queries (round 1
     recorded exactly the first 50 names), so this publishes the
     standalone headliners plus composite *panels* that cover every one
-    of the 206 registry queries (minus the two documented
+    of the 207 registry queries (minus the two documented
     registry-internal exact baselines) — each SURVEY §2 operator gets a
     hash-checked row every round (see queries/panel_specs.py for the
     panel → members map).

@@ -44,6 +44,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 30,
+    edges_distinct: bool = False,
 ) -> DataFrame:
     """Return ``(node, component)`` where ``component`` is the minimum
     node id in the node's connected component.
@@ -52,59 +53,81 @@ def connected_components(
     dropped). Nodes with no edges don't appear; callers wanting
     singleton components left-join the full node set and coalesce to
     the node's own id.
+
+    ``edges_distinct=True`` declares the input has no duplicate
+    (src, dst) pairs and no pair present in both orientations — true of
+    every in-repo caller (verified near-dup pairs and consecutive-id
+    edges both guarantee ``src < dst`` distinct) — which drops the
+    defensive pre-distinct. Duplicate edges never change the answer
+    (min-label over more rows), only the per-round join fan-out, so the
+    flag is purely the cost knob: one full exchange+HashAggregate over
+    the edge set removed from the eager prefix (r12; the bench showed
+    ~90% of corpus_curation_summary's wall inside this function's eager
+    checkpoints, whose first job executes the whole upstream LSH+verify
+    pipeline).
     """
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
         F.col("a") != F.col("b")
     )
     sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    sym = sym.distinct().localCheckpoint(eager=True)
+    if not edges_distinct:
+        sym = sym.distinct()
+    sym = sym.localCheckpoint(eager=True)
 
+    # Lazy on purpose (r12): the initial label table is consumed exactly
+    # once, by iteration 1's join, so materializing it here costs one
+    # extra job round-trip for work iteration 1's eager checkpoint would
+    # do anyway (it reads only the already-checkpointed sym).
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
     )
 
     from pyspark.sql import Observation
 
-    for _ in range(max_iter):
-        # (1) min label over neighbours, folded into own label; the old
-        # label rides along so convergence is decided by an observed
-        # metric on the checkpoint job instead of a second join+count
-        # job per round.
+    def step(cur: DataFrame) -> DataFrame:
+        """One propagate+jump step, lazy: (1) min label over
+        neighbours folded into own label, (2) pointer jump
+        label <- label(label) (halves chains). ``old`` rides along so
+        convergence is decided by an observed metric on the checkpoint
+        job instead of a second join+count job per round."""
         neigh_min = (
-            sym.join(labels, sym["a"] == labels["node"])
+            sym.join(cur, sym["a"] == cur["node"])
             .groupBy(sym["b"].alias("node"))
             .agg(F.min("label").alias("nmin"))
         )
-        stepped = (
-            labels.join(neigh_min, "node", "left")
-            .select(
-                "node",
-                F.col("label").alias("old"),
-                F.least("label", F.coalesce("nmin", "label")).alias("label"),
-            )
+        stepped = cur.join(neigh_min, "node", "left").select(
+            "node",
+            F.col("label").alias("old"),
+            F.least("label", F.coalesce("nmin", "label")).alias("label"),
         )
-        # (2) pointer jump: label <- label(label). Halves chains.
         parent = stepped.select(
             F.col("node").alias("p_node"), F.col("label").alias("p_label")
         )
+        return stepped.join(
+            parent, stepped["label"] == parent["p_node"], "left"
+        ).select("node", F.coalesce("p_label", "label").alias("label"), "old")
+
+    # TWO steps per materialized round (r12): each eager checkpoint is
+    # a scheduled job whose floor dominates on small/settled graphs (the
+    # bench measured ~0.5 s/round at sf0.1 for a 477-node dup graph
+    # needing 1 effective round + 1 proof round). Chaining a second
+    # lazy step into the same checkpoint job keeps the exchange count
+    # identical per step but halves the scheduling floors, and the
+    # convergence proof tightens: if step B changed nothing, step A's
+    # output was already the fixed point. The common near-dup shape
+    # (pairs/cliques) now converges AND proves it in ONE job.
+    for _ in range((max_iter + 1) // 2):
         obs = Observation()
-        jumped = (
-            stepped.join(parent, stepped["label"] == parent["p_node"], "left")
-            .select(
-                "node", F.coalesce("p_label", "label").alias("label"), "old"
-            )
-            .observe(
-                obs,
-                F.coalesce(
-                    F.sum((F.col("label") != F.col("old")).cast("long")),
-                    F.lit(0),
-                ).alias("changed"),
-            )
+        second = step(step(labels).select("node", "label")).observe(
+            obs,
+            F.coalesce(
+                F.sum((F.col("label") != F.col("old")).cast("long")),
+                F.lit(0),
+            ).alias("changed"),
         )
-        labels = jumped.select("node", "label").localCheckpoint(eager=True)
+        labels = second.select("node", "label").localCheckpoint(eager=True)
         # The eager checkpoint already materialized the plan, so the
         # metric is available without launching any further job.
         if obs.get["changed"] == 0:

@@ -428,8 +428,37 @@ def semantic_dedup_keep(
     )
 
 
+def ivf_effort(n: int | float) -> dict:
+    """Input-derived IVF build/serve effort (VERDICT r11 item 5: the
+    fixed ``n_centroids=8 / n_probe=3`` measured recall@5 0.54-0.60 at
+    the SMALL corpora — 3-of-8 coarse lists cover 37.5% of a corpus
+    whose cluster structure is too weak to concentrate the true
+    neighbors — while sitting at 1.0 from sf1 up).
+
+    Same precedent as :func:`knn_graph_effort` and ``pq_topk``'s
+    sqrt(n) rerank shortlist: derive both knobs from the corpus size,
+
+        n_centroids = clamp(round(sqrt(n)), 4, 65536)     (FAISS rule)
+        n_probe     = min(n_centroids, 24)
+
+    so the scanned candidate pool is ~24*sqrt(n) rows — a probe
+    fraction of min(1, 24/sqrt(n)) that decays as the corpus grows
+    (full scan below n=576 where pruning cannot pay for itself; 53% at
+    n=2k, 17% at 20k, 5.4% at 200k, 0.076% at 1e9). Measured recall@5
+    against exact cosine ground truth (r12 sweep, 10-query set):
+    1.0 / 1.0 / 0.94 / 1.0 / 1.0 / 1.0 at n = 500 / 500 / 2,000 /
+    20,000 / 60,000 / 200,000 (sf0.001-sf10) vs 0.64 / 0.62 / 0.72 /
+    1.0 / 1.0 under the fixed r6 parameters — the weak tier now clears
+    the raised 0.7 gate floor everywhere with margin.
+    """
+    import math
+
+    nlist = max(4, min(int(round(math.sqrt(max(float(n), 1.0)))), 65536))
+    return {"n_centroids": nlist, "n_probe": min(nlist, 24)}
+
+
 def build_ivf_index(
-    corpus: DataFrame, n_centroids: int = 8, id_col: str = "vec_id",
+    corpus: DataFrame, n_centroids: int | None = 8, id_col: str = "vec_id",
     vec_col: str = "embedding", seed: int = 42,
 ) -> tuple[DataFrame, DataFrame]:
     """Build the IVF index: coarse KMeans centroids + the corpus
@@ -442,10 +471,16 @@ def build_ivf_index(
     database build/serve split. Returns ``(centroids, lists)``:
     ``centroids`` is a tiny (n_centroids x dim) broadcastable table,
     ``lists`` carries (neighbor_id, __cv, centroid_id).
+
+    ``n_centroids=None`` derives the list count from a one-aggregate
+    corpus census via :func:`ivf_effort` (sqrt(n), the FAISS rule) —
+    the r12 default for the catalog path.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    if n_centroids is None:
+        n_centroids = ivf_effort(corpus.count())["n_centroids"]
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("__cv"),
@@ -481,15 +516,19 @@ def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
 
 def search_ivf_index(
     centroids: DataFrame, lists: DataFrame, queries: DataFrame, k: int = 5,
-    n_probe: int = 2, id_col: str = "vec_id", vec_col: str = "embedding",
+    n_probe: int | None = 2, id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
     """Serve-side IVF probe against a (built or loaded) index: each
     query scores the broadcast centroid table, keeps its ``n_probe``
     nearest lists, and brute-forces only those — ``n_probe /
     n_centroids`` of the corpus per query, with the top-k window the
-    only shuffle. Output: (query_id, neighbor_id, sim, rn)."""
+    only shuffle. ``n_probe=None`` derives the probe width from the
+    (tiny) centroid table via :func:`ivf_effort`'s min(n_centroids, 24)
+    rule. Output: (query_id, neighbor_id, sim, rn)."""
     from pyspark.sql import Window
 
+    if n_probe is None:
+        n_probe = min(centroids.count(), 24)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("__qv"),
@@ -519,16 +558,26 @@ def search_ivf_index(
 
 
 def ann_ivf_topk(
-    corpus: DataFrame, queries: DataFrame, k: int = 5, n_centroids: int = 8,
-    n_probe: int = 2, id_col: str = "vec_id", vec_col: str = "embedding",
+    corpus: DataFrame, queries: DataFrame, k: int = 5,
+    n_centroids: int | None = None, n_probe: int | None = None,
+    id_col: str = "vec_id", vec_col: str = "embedding",
     seed: int = 42,
 ) -> DataFrame:
     """IVF-style ANN in one shot: :func:`build_ivf_index` +
     :func:`search_ivf_index` (see those for the scale shapes and the
     persistable build/serve split). Centroids are MLlib-seeded, so the
     catalog checks this through deterministic recall gates.
+
+    ``n_centroids`` / ``n_probe`` default to None — derived from ONE
+    corpus census via :func:`ivf_effort` (sqrt(n) lists, probe width
+    min(n_centroids, 24)); pass explicit values to pin them.
     Output: (query_id, neighbor_id, sim, rn).
     """
+    if n_centroids is None or n_probe is None:
+        eff = ivf_effort(corpus.count())
+        n_centroids = eff["n_centroids"] if n_centroids is None else n_centroids
+        n_probe = eff["n_probe"] if n_probe is None else n_probe
+    n_probe = min(n_probe, n_centroids)
     centroids, lists = build_ivf_index(
         corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col,
         seed=seed,

@@ -31,9 +31,12 @@ from pyspark.sql import functions as F
 from orx_surgical_spark.queries.catalog import REGISTRY, register
 from orx_surgical_spark.sources import load_table
 
-#: measured recall: ivf 0.68 (sf0.001) / 0.54 (sf0.01) with n_probe=3;
-#: a fully broken probe path degenerates to ~n_probe/n_centroids=0.375.
-_IVF_FLOOR = 0.45
+#: measured recall with the r12 input-derived effort (ivf_effort:
+#: sqrt(n) lists, probe width min(n_centroids, 24)):
+#: 1.0/1.0/0.94/1.0/1.0/1.0 at sf0.001-sf10 — worst probed scale 0.94
+#: clears the floor by 0.24. A fully broken probe path degenerates to
+#: ~scan fraction (<=0.53 at sf0.1 and decaying with scale).
+_IVF_FLOOR = 0.7
 #: measured 0.92 / 0.98 — floor well above a broken-bucketing ~0.
 _LSH_FLOOR = 0.8
 #: measured 1.0 / 0.98 at the graded SFs (0.86 / 0.80 at the sf0.1 /

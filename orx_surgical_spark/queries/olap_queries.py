@@ -320,7 +320,8 @@ def doc_lang_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt,
         (docs["doc_id"] == nxt["prev_id"]) & (docs["lang"] == nxt["lang2"]),
     ).select(F.col("doc_id").alias("src"), "dst")
-    comp = connected_components(edges)
+    # consecutive-id same-lang join: distinct pairs with src < dst
+    comp = connected_components(edges, edges_distinct=True)
     labeled = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id")

@@ -2,7 +2,7 @@
 
 The grading driver's correctness gate checks at most ~50 queries per
 round (round 1 recorded exactly the first 50 catalog names
-alphabetically), while the full registry declares 206 fine-grained
+alphabetically), while the full registry declares 207 fine-grained
 entries. To get EVERY SURVEY §2 operator a driver-green row, the
 driver-facing surface (``__spark_entry__.queries()``) exposes:
 
@@ -17,7 +17,7 @@ driver-facing surface (``__spark_entry__.queries()``) exposes:
   identical serialization + digest arithmetic to each member's oracle
   SQL.
 
-The internal registry keeps all 206 fine-grained entries: tests and
+The internal registry keeps all 207 fine-grained entries: tests and
 ``bench.py`` keep their per-operator resolution.
 
 Exception: the two quadratic exact baselines in ``REGISTRY_INTERNAL``
@@ -206,6 +206,7 @@ ORACLE_PANELS: dict[str, tuple[str, ...]] = {
         "paragraph_dedup_docs",  # r6: sub-document dedup + reassembly
         "incremental_dedup_decisions",  # r6: shard-vs-frozen-index mode
         "exact_substring_coverage",  # r10: Lee-et-al suffix-array tier
+        "exact_substring_coverage_fast",  # r12: stride-4 throughput knob
         "doc_graph_kcore",  # r8: bounded-round 2-core density screen
         "doc_graph_bfs_layers",  # r8: seeded BFS radius diagnostic
     ),

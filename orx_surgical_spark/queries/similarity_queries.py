@@ -190,18 +190,23 @@ def embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_ivf_topk",
     oracle=None,  # KMeans centroids are MLlib-seeded -> rows-only check
-    doc="IVF-style ANN top-k: coarse KMeans inverted lists, n_probe=3 "
-        "of 8 centroids per query, brute-force only within probed lists "
-        "(the classic IVF trade: touch ~n_probe/n_centroids of the "
-        "corpus per query; n_probe 2->3 in r6 lifts recall@5 to "
-        "0.68/0.54 at sf0.001/0.01, clearing the ann_ivf_recall gate's "
-        "0.45 floor at both graded SFs).",
+    doc="IVF-style ANN top-k: coarse KMeans inverted lists, brute-force "
+        "only within each query's nearest probed lists (the classic IVF "
+        "trade: touch ~n_probe/n_centroids of the corpus per query). "
+        "Both knobs derive from a one-count corpus census "
+        "(similarity.ivf_effort, r12 — the fixed 3-of-8 probe measured "
+        "recall@5 0.62-0.72 at the small corpora): sqrt(n) lists, probe "
+        "width min(n_centroids, 24), i.e. a ~24*sqrt(n)-row candidate "
+        "pool whose corpus fraction DECAYS with scale (53% at sf0.1, "
+        "5.4% at sf10, 0.076% at 1e9 rows). Measured recall@5 "
+        "1.0/1.0/0.94/1.0/1.0/1.0 at sf0.001-sf10 — clears the raised "
+        "0.7 ann_ivf_recall floor everywhere with margin.",
     tags=("similarity", "ann", "ivf"),
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 10)
-    return S.ann_ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=3)
+    return S.ann_ivf_topk(emb, queries, k=5)
 
 
 @register(

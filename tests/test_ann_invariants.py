@@ -29,12 +29,14 @@ def _recall_at_k(approx: pd.DataFrame, exact: pd.DataFrame) -> float:
 
 
 def test_ivf_recall_floor(frames):
-    """IVF with n_probe=3 of 8 centroids (r6): measured 0.68 at
-    sf0.001 / 0.54 at sf0.01 — a floor of 0.5 catches a broken
-    probe/assignment path while tolerating seed-to-version drift in
-    KMeans. The driver-facing gate is ann_ivf_recall (floor 0.45,
-    hash-checked at sf0.01 every round)."""
-    assert _recall_at_k(frames["ivf"], frames["exact"]) >= 0.5
+    """IVF with input-derived effort (r12, similarity.ivf_effort:
+    sqrt(n) lists, probe width min(n_centroids, 24)): measured recall@5
+    1.0/1.0/0.94 at sf0.001/0.01/0.1 — a floor of 0.7 catches a broken
+    probe/assignment path (which degenerates to ~scan fraction) while
+    tolerating seed-to-version drift in KMeans. The driver-facing gate
+    is ann_ivf_recall (floor 0.7, hash-checked at sf0.01 every
+    round)."""
+    assert _recall_at_k(frames["ivf"], frames["exact"]) >= 0.7
 
 
 def test_lsh_recall_floor(frames):
