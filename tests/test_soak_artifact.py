@@ -47,6 +47,36 @@ def test_committed_soak_artifacts_cited_as_evidence_are_green():
             )
 
 
+def test_committed_soak_artifacts_respect_exposed_row_bound():
+    """VERDICT r11 item 6: the exposure layer must stay O(1)-ish — the
+    soak fails any exposed entry collecting more than its row bound,
+    and committed artifacts that RECORD the bound must also respect it
+    (older artifacts predate the field and are exempt; the enforcement
+    for new evidence is soak.py's rowbound/<name> failure, which the
+    green-artifact test above already rejects)."""
+    import json
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    for name in sorted(os.listdir(root)):
+        if (
+            name.startswith("SOAK_")
+            and name.endswith(".json")
+            and not name.endswith(".failed.json")
+        ):
+            with open(os.path.join(root, name)) as f:
+                art = json.load(f)
+            bound = art.get("row_bound")
+            if bound is None:
+                continue
+            observed = art.get("memory_attribution", {}).get(
+                "max_collected_rows", 0
+            )
+            assert observed <= bound, (
+                f"{name}: max_collected_rows {observed} exceeds the "
+                f"exposed-surface bound {bound}"
+            )
+
+
 def test_err_summary_keeps_root_cause_head_and_causal_chain():
     """VERDICT r10 item 3: the sf10 failure artifact held only the tail
     of a Java stack (thread-pool frames); the summary must keep the
