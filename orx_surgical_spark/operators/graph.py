@@ -74,60 +74,66 @@ def connected_components(
         sym = sym.distinct()
     sym = sym.localCheckpoint(eager=True)
 
-    # Lazy on purpose (r12): the initial label table is consumed exactly
-    # once, by iteration 1's join, so materializing it here costs one
-    # extra job round-trip for work iteration 1's eager checkpoint would
-    # do anyway (it reads only the already-checkpointed sym).
+    # Eager on purpose: every round references the label table TWICE
+    # (the neighbour-min join and the fold join), so an unmaterialized
+    # label plan is re-executed per reference. A lazy init (and,
+    # worse, batching two propagate+jump steps into one checkpoint to
+    # halve job-scheduling floors) was tried in r12 and REVERTED: a
+    # DataFrame is a plan, not a result, so each un-checkpointed step
+    # is EMBEDDED 2-3x in the plan that consumes it (neighbour-min
+    # join, fold join, and the pointer-jump self-join) — the batched
+    # round re-executes step A's three exchanges up to three times,
+    # trading one scheduling floor for up to 2x the exchange work.
+    # Measured in-lap at sf1 it was a wash (14.9 s batched vs the
+    # box-speed-adjusted r11 12.3 s single-step on the curation
+    # pipeline); the single-step form is the shape with one
+    # materialization per step and no duplicated subplans.
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
     )
 
     from pyspark.sql import Observation
 
-    def step(cur: DataFrame) -> DataFrame:
-        """One propagate+jump step, lazy: (1) min label over
-        neighbours folded into own label, (2) pointer jump
-        label <- label(label) (halves chains). ``old`` rides along so
-        convergence is decided by an observed metric on the checkpoint
-        job instead of a second join+count job per round."""
+    for _ in range(max_iter):
+        # (1) min label over neighbours, folded into own label; the old
+        # label rides along so convergence is decided by an observed
+        # metric on the checkpoint job instead of a second join+count
+        # job per round.
         neigh_min = (
-            sym.join(cur, sym["a"] == cur["node"])
+            sym.join(labels, sym["a"] == labels["node"])
             .groupBy(sym["b"].alias("node"))
             .agg(F.min("label").alias("nmin"))
         )
-        stepped = cur.join(neigh_min, "node", "left").select(
-            "node",
-            F.col("label").alias("old"),
-            F.least("label", F.coalesce("nmin", "label")).alias("label"),
+        stepped = (
+            labels.join(neigh_min, "node", "left")
+            .select(
+                "node",
+                F.col("label").alias("old"),
+                F.least("label", F.coalesce("nmin", "label")).alias("label"),
+            )
         )
+        # (2) pointer jump: label <- label(label). Halves chains.
         parent = stepped.select(
             F.col("node").alias("p_node"), F.col("label").alias("p_label")
         )
-        return stepped.join(
-            parent, stepped["label"] == parent["p_node"], "left"
-        ).select("node", F.coalesce("p_label", "label").alias("label"), "old")
-
-    # TWO steps per materialized round (r12): each eager checkpoint is
-    # a scheduled job whose floor dominates on small/settled graphs (the
-    # bench measured ~0.5 s/round at sf0.1 for a 477-node dup graph
-    # needing 1 effective round + 1 proof round). Chaining a second
-    # lazy step into the same checkpoint job keeps the exchange count
-    # identical per step but halves the scheduling floors, and the
-    # convergence proof tightens: if step B changed nothing, step A's
-    # output was already the fixed point. The common near-dup shape
-    # (pairs/cliques) now converges AND proves it in ONE job.
-    for _ in range((max_iter + 1) // 2):
         obs = Observation()
-        second = step(step(labels).select("node", "label")).observe(
-            obs,
-            F.coalesce(
-                F.sum((F.col("label") != F.col("old")).cast("long")),
-                F.lit(0),
-            ).alias("changed"),
+        jumped = (
+            stepped.join(parent, stepped["label"] == parent["p_node"], "left")
+            .select(
+                "node", F.coalesce("p_label", "label").alias("label"), "old"
+            )
+            .observe(
+                obs,
+                F.coalesce(
+                    F.sum((F.col("label") != F.col("old")).cast("long")),
+                    F.lit(0),
+                ).alias("changed"),
+            )
         )
-        labels = second.select("node", "label").localCheckpoint(eager=True)
+        labels = jumped.select("node", "label").localCheckpoint(eager=True)
         # The eager checkpoint already materialized the plan, so the
         # metric is available without launching any further job.
         if obs.get["changed"] == 0:
