@@ -42,23 +42,17 @@ EXPOSED_STANDALONE: tuple[str, ...] = (
     "corpus_curation_summary",
     "cosine_topk",
     "dedup_exact",
-    "decontamination_report",
     "doc_graph_pagerank",
-    "doc_repetition_stats",
-    "embedding_quantize_int8",
-    "mhe_sparse_indices",
     "pack_sequences_summary",
     "pricing_summary",
     "q7_volume_shipping",
     "q13_customer_distribution",
     "q17_small_quantity_revenue",
     "semi_join_full_years",
-    "sessionize_events",
     "source_mixture_sample",
     "shipping_priority",
     "threshold_sweep",
     "token_budget_selection",
-    "token_stats",
 )
 
 # Oracle-checked panels: every member has a DuckDB oracle, so the panel
@@ -286,9 +280,24 @@ ORACLE_PANELS: dict[str, tuple[str, ...]] = {
     # for bench (noop-sink timed) and tests. embedding_neardup_blocked
     # (15.8 M rows at sf10) lost its standalone exposure the same way
     # but was already digest-covered as a panel_similarity member.
+    # r12 additions: the row-bound invariant (scripts/soak.py,
+    # VERDICT r11 item 6) swept the whole exposed surface at sf10 on
+    # its first run and caught six more O(corpus) results the r11
+    # digest pass missed — per-doc stats (token_stats 500k,
+    # doc_repetition_stats 500k, decontamination_report 495k rows at
+    # sf10), per-vector tables (embedding_quantize_int8 200k), per-user
+    # rollups (sessionize_events 150k) and the MHE index stream
+    # (mhe_sparse_indices 8.07M). A 100 TB consumer writes these
+    # relations to a sink; the exposed surface hands out the digest.
     "panel_bulk_certificates": (
         "batch_inference_scores",
+        "decontamination_report",
+        "doc_repetition_stats",
+        "embedding_quantize_int8",
+        "mhe_sparse_indices",
         "minhash_candidates",
+        "sessionize_events",
+        "token_stats",
     ),
     "panel_ann": (
         "ann_ivf_recall",
