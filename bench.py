@@ -60,6 +60,42 @@ def wait_for_quiet_box(max_load: float, wait_budget_s: float) -> float:
     return load
 
 
+def box_canary_s(reps: int = 5) -> dict[str, float]:
+    """Fixed-work box-speed canary recorded in every lap (VERDICT r12
+    item 6): two rounds running, cross-round regressions were
+    attributed to "box drift" with only the DuckDB co-capture as
+    evidence — which drifts with the same box. The canary is
+    engine-independent fixed work, timed best-of-``reps``:
+
+    - ``py_loop_s`` — a pure-Python arithmetic loop (interpreter /
+      CPU-clock speed, the floor under Spark's driver-side work), and
+    - ``np_stream_s`` — one NumPy elementwise pass over 64 MiB of
+      float64 (memory bandwidth, the floor under columnar scans).
+
+    ``micro_unit_s`` is their sum. Both are single-threaded, so
+    co-located load shows up in ``loadavg_1m``, not here; cross-round
+    comparisons can now normalize lap seconds by the co-captured
+    canary instead of guessing."""
+    import numpy as np
+
+    a = np.arange(8 << 20, dtype="float64")  # 64 MiB
+    best_py = best_np = float("inf")
+    for _ in range(max(reps, 1)):
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(500_000):
+            acc += i * i
+        best_py = min(best_py, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float((a * 1.0000001 + 3.0).sum())
+        best_np = min(best_np, time.perf_counter() - t0)
+    return {
+        "py_loop_s": round(best_py, 4),
+        "np_stream_s": round(best_np, 4),
+        "micro_unit_s": round(best_py + best_np, 4),
+    }
+
+
 def git_head_sha() -> str | None:
     """HEAD sha at capture time, recorded in the artifact (VERDICT r11
     'What's wrong' 1: all three r11 laps were captured before the final
@@ -83,7 +119,47 @@ def git_head_sha() -> str | None:
         return None
 
 
+def git_dirty_engine() -> bool | None:
+    """True iff the working tree has uncommitted changes under the
+    engine paths (``orx_surgical_spark/`` or ``bench.py``) at capture
+    time (ADVICE r12: ``git_head`` alone records a clean-looking sha
+    for a lap captured over uncommitted engine edits — exactly the
+    stale-evidence mode the freshness test exists to prevent).
+    tests/test_bench_freshness.py fails the suite on any committed
+    artifact with ``git_dirty: true``."""
+    try:
+        import subprocess
+
+        out = subprocess.run(
+            ["git", "status", "--porcelain", "--", "orx_surgical_spark", "bench.py"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True,
+            text=True,
+            timeout=10,
+        )
+        if out.returncode != 0:
+            return None
+        return bool(out.stdout.strip())
+    except Exception:
+        return None
+
+
 def main() -> None:
+    # --isolate q1,q2 (VERDICT r12 item 5): time ONLY the named
+    # queries, each consecutively best-of-N on a quiet box — the
+    # committed-artifact form of the "isolated best-of-5" diagnosis
+    # that previously lived in commit messages. The artifact carries
+    # mode="isolate" so the freshness test tracks it per (sf, mode)
+    # without letting a partial lap stand in for the full one.
+    isolate: list[str] = []
+    argv = sys.argv[1:]
+    if "--isolate" in argv:
+        idx = argv.index("--isolate")
+        if idx + 1 >= len(argv):
+            print("usage: bench.py [--isolate q1,q2,...]", file=sys.stderr)
+            raise SystemExit(2)
+        isolate = [q.strip() for q in argv[idx + 1].split(",") if q.strip()]
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
@@ -120,6 +196,13 @@ def main() -> None:
         spark.conf.set("spark.sql.adaptive.enabled", "false")
 
     bench_queries = {n: q for n, q in sorted(REGISTRY.items()) if q.bench}
+    if isolate:
+        unknown = [n for n in isolate if n not in REGISTRY]
+        if unknown:
+            print(f"# unknown --isolate queries: {unknown}", file=sys.stderr)
+            raise SystemExit(2)
+        # isolate mode may name any registry query, not just headliners
+        bench_queries = {n: REGISTRY[n] for n in sorted(set(isolate))}
 
     # Untimed warmup at the smallest SF: compiles the same whole-stage
     # codegen classes (the codegen cache keys on generated source, which
@@ -168,6 +251,8 @@ def main() -> None:
     max_load = float(os.environ.get("SPARK_GRAFT_MAX_LOAD", "2.0"))
     wait_budget = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "600"))
     load_at_start = wait_for_quiet_box(max_load, wait_budget)
+    canary = box_canary_s()
+    print(f"# box canary: {canary}", file=sys.stderr)
 
     # Timed runs are interleaved round-robin (q1 q2 ... qn, q1 q2 ...):
     # a transient background-load spike then degrades at most one run
@@ -201,7 +286,15 @@ def main() -> None:
         return best, spread, wr
 
     t_all = time.perf_counter()
-    all_times = timed_lap(list(bench_queries), runs)
+    if isolate:
+        # Consecutive per-query laps: isolation evidence certifies each
+        # named query's reproducible steady state alone (same rationale
+        # as the retry lap below), free of its neighbors' cache/GC churn.
+        all_times = {}
+        for name in bench_queries:
+            all_times.update(timed_lap([name], runs))
+    else:
+        all_times = timed_lap(list(bench_queries), runs)
 
     # Quiet-gate retry (r9, VERDICT r8 item 8): a query whose
     # median-vs-min spread exceeds the threshold gets ONE fresh lap
@@ -369,6 +462,11 @@ def main() -> None:
                 "failed": failures,
                 "retry_errors": retry_errors,
                 "git_head": git_head_sha(),
+                "git_dirty": git_dirty_engine(),
+                "mode": "isolate" if isolate else "full",
+                "isolate_queries": sorted(bench_queries) if isolate else [],
+                "micro_unit_s": canary["micro_unit_s"],
+                "canary": canary,
             }
         )
     )

@@ -450,10 +450,15 @@ def ivf_effort(n: int | float) -> dict:
     20,000 / 60,000 / 200,000 (sf0.001-sf10) vs 0.64 / 0.62 / 0.72 /
     1.0 / 1.0 under the fixed r6 parameters — the weak tier now clears
     the raised 0.7 gate floor everywhere with margin.
+
+    n_centroids never exceeds the corpus size (ADVICE r12: the old
+    floor of 4 asked KMeans for more clusters than points on a <4-row
+    corpus), with a hard floor of 1.
     """
     import math
 
-    nlist = max(4, min(int(round(math.sqrt(max(float(n), 1.0)))), 65536))
+    n_int = max(int(n), 1)
+    nlist = max(1, min(int(round(math.sqrt(float(n_int)))), n_int, 65536))
     return {"n_centroids": nlist, "n_probe": min(nlist, 24)}
 
 

@@ -179,14 +179,22 @@ def main() -> int:
     for i, name in enumerate(sorted(qs), 1):
         t = time.monotonic()
         try:
-            rows = qs[name](spark, args.sf_dir).collect()
+            # take(bound+1), not collect() (ADVICE r12): the bound check
+            # used to run only after a full collect succeeded, so a truly
+            # unbounded result could OOM this driver before the
+            # rowbound/<name> failure was recorded. The limited fetch
+            # caps driver memory at bound+1 rows while still executing
+            # the full plan; an over-bound entry records rows=bound+1
+            # (a floor, flagged) instead of its true count.
+            rows = qs[name](spark, args.sf_dir).take(row_bound + 1)
             results[name] = {
                 "rows": len(rows), "s": round(time.monotonic() - t, 2)
             }
             if len(rows) > row_bound:
                 failures.append(f"rowbound/{name}")
+                results[name]["rows_truncated_at_bound"] = True
                 print(
-                    f"[soak] rowbound/{name}: {len(rows)} collected rows "
+                    f"[soak] rowbound/{name}: >{row_bound} collected rows "
                     f"exceed the exposed-surface bound {row_bound}",
                     flush=True,
                 )

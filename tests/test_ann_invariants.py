@@ -39,6 +39,21 @@ def test_ivf_recall_floor(frames):
     assert _recall_at_k(frames["ivf"], frames["exact"]) >= 0.7
 
 
+def test_ivf_effort_never_exceeds_corpus_size():
+    """ADVICE r12: the old floor of 4 asked KMeans for more clusters
+    than points on a <4-row corpus. n_centroids must satisfy
+    1 <= n_centroids <= min(n, 65536) everywhere, keep the sqrt rule
+    in the normal regime, and keep n_probe <= n_centroids."""
+    from orx_surgical_spark.operators.similarity import ivf_effort
+
+    for n in (1, 2, 3, 5, 16, 500, 2_000, 200_000, 10**9, 10**12):
+        e = ivf_effort(n)
+        assert 1 <= e["n_centroids"] <= min(n, 65536), (n, e)
+        assert e["n_probe"] <= e["n_centroids"]
+    assert ivf_effort(2_000)["n_centroids"] == 45  # sqrt rule unchanged
+    assert ivf_effort(10**12)["n_centroids"] == 65536  # cap holds
+
+
 def test_lsh_recall_floor(frames):
     """BucketedRandomProjectionLSH: measured 0.92 at sf0.001; floor
     0.8."""
