@@ -45,6 +45,7 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 30,
     edges_distinct: bool = False,
+    driver_cutover_edges: int = 100_000,
 ) -> DataFrame:
     """Return ``(node, component)`` where ``component`` is the minimum
     node id in the node's connected component.
@@ -65,6 +66,11 @@ def connected_components(
     ~90% of corpus_curation_summary's wall inside this function's eager
     checkpoints, whose first job executes the whole upstream LSH+verify
     pipeline).
+
+    ``driver_cutover_edges``: symmetrized edge sets at or below twice
+    this bound are solved on the driver by union-find instead of the
+    distributed loop (see the inline comment); pass 0 to force the
+    loop. Both paths produce identical (node, min-id component) rows.
     """
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
         F.col("a") != F.col("b")
@@ -73,6 +79,22 @@ def connected_components(
     if not edges_distinct:
         sym = sym.distinct()
     sym = sym.localCheckpoint(eager=True)
+
+    # Small-graph cutover (r13; same precedent as similarity.py's
+    # small-corpus Gram cutover): the iterative loop's per-round cost is
+    # ~6 exchanges + a job-scheduling floor, which DOMINATES when the
+    # duplicate graph is small — at sf0.1 the curation pipeline's CC
+    # phase spent ~1.2 s of pure scheduling on 512 edges (2 rounds).
+    # Below the bound, solve on the driver with union-find (micro-
+    # seconds for 100k edges, ~3 MB of longs) and hand the result back
+    # as a LocalRelation the downstream keep-join can broadcast. The
+    # census is one tiny count job over the ALREADY-materialized
+    # checkpoint, negligible next to even a single loop round. The
+    # distributed loop stays the at-scale path: a real 10-100 TB corpus
+    # at a 30-50% dup factor has O(n_docs) verified edges, far past the
+    # bound (tests pin loop ≡ cutover on the same graphs).
+    if sym.count() <= 2 * driver_cutover_edges:  # sym holds both orientations
+        return _driver_union_find(sym)
 
     # Eager on purpose: every round references the label table TWICE
     # (the neighbour-min join and the fold join), so an unmaterialized
@@ -140,6 +162,50 @@ def connected_components(
             break
 
     return labels.select("node", F.col("label").alias("component"))
+
+
+def _driver_union_find(sym: DataFrame) -> DataFrame:
+    """Exact CC of a small symmetrized edge set on the driver.
+
+    Classic union-find with path halving; labels are then canonicalized
+    to the minimum node id per component, so the result is identical to
+    the distributed loop's (min-label) output row-for-row — the
+    deterministic contract the DuckDB recursive-CTE oracles replay.
+    Returns ``(node, component)`` typed like the edge endpoints; the
+    LocalRelation's size is known to Catalyst, so the consumer's join
+    plans it broadcast."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            parent[root] = parent[parent[root]]  # path halving
+            root = parent[root]
+        return root
+
+    for row in sym.collect():
+        a, b = row[0], row[1]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    comp_min: dict = {}
+    roots = {n: find(n) for n in parent}
+    for n, r in roots.items():
+        if r not in comp_min or n < comp_min[r]:
+            comp_min[r] = n
+    from pyspark.sql import types as T
+
+    a_type = sym.schema[0].dataType
+    schema = T.StructType(
+        [T.StructField("node", a_type), T.StructField("component", a_type)]
+    )
+    return sym.sparkSession.createDataFrame(
+        [(n, comp_min[r]) for n, r in roots.items()], schema
+    )
 
 
 def pagerank(

@@ -12,7 +12,17 @@ from orx_surgical_spark.operators.graph import connected_components, pagerank
 def _cc(spark, pairs, **kw):
     edges = spark.createDataFrame(pairs, ["src", "dst"])
     rows = connected_components(edges, **kw).collect()
-    return {r["node"]: r["component"] for r in rows}
+    got = {r["node"]: r["component"] for r in rows}
+    # Path parity (r13): unless the caller pinned a path, assert the
+    # driver union-find cutover (default at these sizes) and the
+    # distributed loop agree row-for-row on every graph under test —
+    # the cutover must be invisible to consumers and oracles.
+    if "driver_cutover_edges" not in kw:
+        loop_rows = connected_components(
+            edges, driver_cutover_edges=0, **kw
+        ).collect()
+        assert {r["node"]: r["component"] for r in loop_rows} == got
+    return got
 
 
 def test_chain_collapses_to_min(spark):
