@@ -438,18 +438,22 @@ def ivf_effort(n: int | float) -> dict:
     Same precedent as :func:`knn_graph_effort` and ``pq_topk``'s
     sqrt(n) rerank shortlist: derive both knobs from the corpus size,
 
-        n_centroids = clamp(round(sqrt(n)), 4, 65536)     (FAISS rule)
-        n_probe     = min(n_centroids, 24)
+        n_centroids = clamp(round(sqrt(n)), 1, min(n, 65536))  (FAISS rule)
+        n_probe     = min(n_centroids,
+                          max(24, ceil(1536 * n_centroids / n)))
 
-    so the scanned candidate pool is ~24*sqrt(n) rows — a probe
-    fraction of min(1, 24/sqrt(n)) that decays as the corpus grows
-    (full scan below n=576 where pruning cannot pay for itself; 53% at
-    n=2k, 17% at 20k, 5.4% at 200k, 0.076% at 1e9). Measured recall@5
-    against exact cosine ground truth (r12 sweep, 10-query set):
-    1.0 / 1.0 / 0.94 / 1.0 / 1.0 / 1.0 at n = 500 / 500 / 2,000 /
-    20,000 / 60,000 / 200,000 (sf0.001-sf10) vs 0.64 / 0.62 / 0.72 /
-    1.0 / 1.0 under the fixed r6 parameters — the weak tier now clears
-    the raised 0.7 gate floor everywhere with margin.
+    The ``24`` term is the scale rule (probe fraction 24/sqrt(n) decays
+    as the corpus grows: 17% at 20k, 5.4% at 200k, 0.076% at 1e9). The
+    ``1536``-candidate floor (r13, VERDICT r12 item 8) fixes the one
+    sub-1.0 point in the r12 trend: at n=2k (nlist=45) the fixed 24-cap
+    scanned only ~1080 candidates of a corpus whose cluster structure
+    is too weak to concentrate neighbors — recall@5 0.94, while
+    n_probe=32 (≥1440 candidates) measures 1.0. Guaranteeing
+    n_probe * n/n_centroids >= 1536 raises the probe width exactly in
+    the small-n crossover zone (full scan below n~1536; n_probe 35 at
+    n=2k) and is inert from n=20k up (ceil(1536*141/20000)=11 < 24), so
+    the r12 sweep's 1.0 rows at 20k/60k/200k remain the measured truth.
+    The floor is a vanishing corpus fraction at scale (1536/n).
 
     n_centroids never exceeds the corpus size (ADVICE r12: the old
     floor of 4 asked KMeans for more clusters than points on a <4-row
@@ -459,7 +463,8 @@ def ivf_effort(n: int | float) -> dict:
 
     n_int = max(int(n), 1)
     nlist = max(1, min(int(round(math.sqrt(float(n_int)))), n_int, 65536))
-    return {"n_centroids": nlist, "n_probe": min(nlist, 24)}
+    n_probe = min(nlist, max(24, math.ceil(1536 * nlist / n_int)))
+    return {"n_centroids": nlist, "n_probe": n_probe}
 
 
 def build_ivf_index(
@@ -528,12 +533,18 @@ def search_ivf_index(
     nearest lists, and brute-forces only those — ``n_probe /
     n_centroids`` of the corpus per query, with the top-k window the
     only shuffle. ``n_probe=None`` derives the probe width from the
-    (tiny) centroid table via :func:`ivf_effort`'s min(n_centroids, 24)
-    rule. Output: (query_id, neighbor_id, sim, rn)."""
+    index itself (centroid count + list rows) via :func:`ivf_effort`'s
+    rule — min(n_centroids, max(24, ceil(1536*n_centroids/n))) — so a
+    loaded index serves with the same candidate floor as a fresh
+    build. Output: (query_id, neighbor_id, sim, rn)."""
+    import math
+
     from pyspark.sql import Window
 
     if n_probe is None:
-        n_probe = min(centroids.count(), 24)
+        nlist = centroids.count()
+        n = max(lists.count(), 1)
+        n_probe = min(nlist, max(24, math.ceil(1536 * nlist / n)))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("__qv"),
@@ -575,7 +586,8 @@ def ann_ivf_topk(
 
     ``n_centroids`` / ``n_probe`` default to None — derived from ONE
     corpus census via :func:`ivf_effort` (sqrt(n) lists, probe width
-    min(n_centroids, 24)); pass explicit values to pin them.
+    min(n_centroids, max(24, 1536-candidate floor))); pass explicit
+    values to pin them.
     Output: (query_id, neighbor_id, sim, rn).
     """
     if n_centroids is None or n_probe is None:

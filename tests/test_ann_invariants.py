@@ -50,7 +50,16 @@ def test_ivf_effort_never_exceeds_corpus_size():
         e = ivf_effort(n)
         assert 1 <= e["n_centroids"] <= min(n, 65536), (n, e)
         assert e["n_probe"] <= e["n_centroids"]
+        # candidate floor (r13, VERDICT r12 item 8): the probed lists
+        # must cover >= min(n, 1536) expected candidates — the n=2k
+        # recall dip (0.94 at 24 probes / ~1080 candidates) came from
+        # exactly this bound being unguaranteed.
+        expected = e["n_probe"] * n / e["n_centroids"]
+        assert expected >= min(n, 1536) * 0.99, (n, e, expected)
     assert ivf_effort(2_000)["n_centroids"] == 45  # sqrt rule unchanged
+    assert ivf_effort(2_000)["n_probe"] == 35  # floor lifts the dip zone
+    assert ivf_effort(20_000)["n_probe"] == 24  # inert from 20k up
+    assert ivf_effort(10**9)["n_probe"] == 24
     assert ivf_effort(10**12)["n_centroids"] == 65536  # cap holds
 
 
