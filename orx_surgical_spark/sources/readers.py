@@ -49,6 +49,19 @@ def read_csv(
     return df
 
 
+#: path -> parquet schema, inferred once per process (r13). Without a
+#: declared schema every ``spark.read.parquet`` call launches a
+#: 1-task schema-inference JOB re-reading the footers — measured
+#: ~60-90 ms per table per call, i.e. 2 of join_customer_orders' 6
+#: bench jobs were footer re-reads. This is catalog metadata, not
+#: result state (same legitimacy line as inference.py's _UDF_CACHE):
+#: any production table carries its schema in a catalog and pays
+#: inference at most once; the synthetic tables are immutable per
+#: path. At 100 TB the same memo replaces a footer-sampling pass over
+#: thousands of files with one lookup.
+_SCHEMA_CACHE: dict[str, T.StructType] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver-generated synthetic table (TESTDATA.md).
 
@@ -59,8 +72,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     normalized to session-TZ TimestampType here so every downstream
     operator (``unix_millis``, ``withWatermark``, window functions) sees
     one type regardless of the file encoding.
+
+    The parquet schema is inferred once per path and declared on every
+    subsequent scan (see ``_SCHEMA_CACHE``) — the schema is a property
+    of the immutable file, so the memo can never change a result, only
+    drop the per-call footer-inference job.
     """
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    schema = _SCHEMA_CACHE.get(path)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[path] = schema
+    df = spark.read.schema(schema).parquet(path)
     return _normalize_ts(df) if name == "events" else df
 
 
