@@ -116,6 +116,20 @@ def load_tables(
     return {n: load_table(spark, sf_dir, n) for n in (names or TPCH_TABLES)}
 
 
+#: (input files, default parallelism) -> scan partition count. Probing
+#: a FRESH DataFrame's width via ``df.rdd.getNumPartitions()`` runs a
+#: full physical-planning pass on the driver (~45 ms/call measured at
+#: sf0.1); the width is a pure function of the scan's file set and the
+#: session's split confs, so it is memoized the same way as
+#: ``_SCHEMA_CACHE`` — metadata, never result state. The key assumes
+#: the input is a scan or narrow transforms over one (every in-repo
+#: call site: load_table / attach_fake_media outputs, which preserve
+#: scan partitioning); a post-shuffle plan would not be width-stable
+#: per file set, and such inputs bypass the cache via the empty-
+#: ``inputFiles`` branch or simply must not be passed here.
+_SCAN_PARTS_CACHE: dict[tuple, int] = {}
+
+
 def ensure_min_partitions(df: DataFrame, n: int | None = None) -> DataFrame:
     """Repartition up to ``n`` partitions if the scan produced fewer.
 
@@ -125,7 +139,18 @@ def ensure_min_partitions(df: DataFrame, n: int | None = None) -> DataFrame:
     shuffle out of the 100 TB path.
     """
     target = n or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    files = df.inputFiles()
+    if files:
+        key = (tuple(sorted(files)), target)
+        parts = _SCAN_PARTS_CACHE.get(key)
+        if parts is None:
+            parts = df.rdd.getNumPartitions()
+            _SCAN_PARTS_CACHE[key] = parts
+    else:
+        # non-file plans (in-memory relations, joins): probe directly —
+        # their width is not a stable function of any cacheable key
+        parts = df.rdd.getNumPartitions()
+    if parts < target:
         return df.repartition(target)
     return df
 
