@@ -430,8 +430,27 @@ def main() -> int:
             )
         except Exception as exc:  # attribution must never fail the soak
             mem_attrib["jvm_probe_err"] = f"{type(exc).__name__}: {exc}"[:200]
+        # max_collected_rows covers the EXPOSED surface only (keys
+        # without a phase prefix) — the population the row bound
+        # governs. Auxiliary reads (gate/, drift/, recall/, late/)
+        # are attributed separately: a drift golden legitimately
+        # collects its full frozen relation (200k rows at sf10),
+        # which must not read as an exposed-surface violation.
         mem_attrib["max_collected_rows"] = max(
-            (v.get("rows", 0) for v in results.values()), default=0
+            (
+                v.get("rows", 0)
+                for k, v in results.items()
+                if "/" not in k and isinstance(v, dict)
+            ),
+            default=0,
+        )
+        mem_attrib["max_aux_collected_rows"] = max(
+            (
+                v.get("rows", 0)
+                for k, v in results.items()
+                if "/" in k and isinstance(v, dict)
+            ),
+            default=0,
         )
         with open(out_path, "w") as f:
             json.dump(

@@ -68,11 +68,27 @@ def test_committed_soak_artifacts_respect_exposed_row_bound():
             bound = art.get("row_bound")
             if bound is None:
                 continue
-            observed = art.get("memory_attribution", {}).get(
-                "max_collected_rows", 0
+            # The bound governs the EXPOSED surface: derive the max from
+            # the per-entry rows of un-prefixed keys (gate/, drift/,
+            # recall/, late/ are auxiliary reads — a drift golden
+            # legitimately collects its full frozen relation, 200k rows
+            # at sf10). Older artifacts without a queries dict fall back
+            # to the summary field.
+            qs = art.get("queries") or {}
+            exposed_rows = [
+                v.get("rows", 0)
+                for k, v in qs.items()
+                if "/" not in k and isinstance(v, dict)
+            ]
+            observed = (
+                max(exposed_rows)
+                if exposed_rows
+                else art.get("memory_attribution", {}).get(
+                    "max_collected_rows", 0
+                )
             )
             assert observed <= bound, (
-                f"{name}: max_collected_rows {observed} exceeds the "
+                f"{name}: max exposed-entry rows {observed} exceed the "
                 f"exposed-surface bound {bound}"
             )
 
