@@ -196,11 +196,15 @@ def embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Both knobs derive from a one-count corpus census "
         "(similarity.ivf_effort, r12 — the fixed 3-of-8 probe measured "
         "recall@5 0.62-0.72 at the small corpora): sqrt(n) lists, probe "
-        "width min(n_centroids, 24), i.e. a ~24*sqrt(n)-row candidate "
-        "pool whose corpus fraction DECAYS with scale (53% at sf0.1, "
-        "5.4% at sf10, 0.076% at 1e9 rows). Measured recall@5 "
-        "1.0/1.0/0.94/1.0/1.0/1.0 at sf0.001-sf10 — clears the raised "
-        "0.7 ann_ivf_recall floor everywhere with margin.",
+        "width min(n_centroids, max(24, 1536-candidate floor)), i.e. a "
+        "candidate pool whose corpus fraction DECAYS with scale (5.4% "
+        "at sf10, 0.076% at 1e9 rows). Below the crossover where the "
+        "derived probe covers half the lists (n <~2.3k) the serve cuts "
+        "over to exact cosine_topk (r13 — a coarse quantizer cannot "
+        "prune enough there to pay for its recall loss; FAISS's "
+        "IndexFlat line). Measured recall@5 1.0 at every probed SF "
+        "sf0.001-sf10 (ANN_RECALL_r13.json) — clears the 0.7 "
+        "ann_ivf_recall floor everywhere with margin.",
     tags=("similarity", "ann", "ivf"),
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -63,6 +63,32 @@ def test_ivf_effort_never_exceeds_corpus_size():
     assert ivf_effort(10**12)["n_centroids"] == 65536  # cap holds
 
 
+def test_ivf_small_corpus_cutover_serves_exact(frames, spark, sf_dir):
+    """r13 (VERDICT r12 item 8): when the derived probe covers at least
+    half the lists (2*n_probe >= n_centroids, n <~2.3k under the effort
+    rule), a coarse quantizer cannot prune enough to pay for its recall
+    loss (measured 0.94/0.96 at n=2k in the r12/r13 trends, 1.0
+    everywhere else), so ann_ivf_topk serves exact cosine_topk below
+    the crossover — recall 1.0 by construction, no KMeans fit. The
+    probe corpus here (n=500, nlist=22, probe=22) is below it: the IVF
+    result must be row-identical to the exact one."""
+    ivf = frames["ivf"].sort_values(["query_id", "rn"]).reset_index(drop=True)
+    exact = frames["exact"].sort_values(["query_id", "rn"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(ivf[["query_id", "neighbor_id", "sim", "rn"]],
+                                  exact[["query_id", "neighbor_id", "sim", "rn"]],
+                                  check_dtype=False)
+    # pinned knobs must keep the real IVF mechanics (no silent cutover:
+    # an explicitly-shaped index is what the caller asked to exercise)
+    import orx_surgical_spark.operators.similarity as S
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pinned = S.ann_ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 3), k=3, n_centroids=8, n_probe=2
+    )
+    assert pinned.count() > 0  # served through the probe path
+
+
 def test_lsh_recall_floor(frames):
     """BucketedRandomProjectionLSH: measured 0.92 at sf0.001; floor
     0.8."""
