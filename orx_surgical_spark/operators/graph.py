@@ -171,9 +171,15 @@ def _driver_union_find(sym: DataFrame) -> DataFrame:
     to the minimum node id per component, so the result is identical to
     the distributed loop's (min-label) output row-for-row — the
     deterministic contract the DuckDB recursive-CTE oracles replay.
-    Returns ``(node, component)`` typed like the edge endpoints; the
-    LocalRelation's size is known to Catalyst, so the consumer's join
-    plans it broadcast."""
+    Returns ``(node, component)`` typed like the edge endpoints, with
+    an explicit broadcast hint: a Python-created local DataFrame plans
+    as ``Scan ExistingRDD`` with UNKNOWN stats (not a LocalRelation),
+    so without the hint every consumer keep-join sort-merges it —
+    measured at sf0.1 that re-added two Exchanges + two Sorts to
+    corpus_curation_summary's final join for a ≤200k-row build side
+    that is a few MB of longs. The hint is strategy-only (never
+    changes rows) and the cutover bound keeps it far under the
+    broadcast cap."""
     parent: dict = {}
 
     def find(x):
@@ -203,8 +209,10 @@ def _driver_union_find(sym: DataFrame) -> DataFrame:
     schema = T.StructType(
         [T.StructField("node", a_type), T.StructField("component", a_type)]
     )
-    return sym.sparkSession.createDataFrame(
-        [(n, comp_min[r]) for n, r in roots.items()], schema
+    return F.broadcast(
+        sym.sparkSession.createDataFrame(
+            [(n, comp_min[r]) for n, r in roots.items()], schema
+        )
     )
 
 
