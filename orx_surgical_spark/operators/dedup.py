@@ -312,8 +312,31 @@ def jaccard_verify(
         docs.join(ids, id_col, "leftsemi")
         .select(F.col(id_col), shingles(tokens(text_col), ngram).alias("__sh"))
     )
+    # Catalyst's own size estimate, read BEFORE the checkpoint erases it:
+    # the pair join below references the shingle table twice (id_a side +
+    # id_b side), and without a materialization each side re-runs the
+    # whole semi-join + tokenize + shingle pass — at sf3 two ~4.8 s
+    # passes for one 21 s verify stage, and the two broadcast subtrees
+    # differ by their aliases so exchange reuse never fires (measured
+    # r13, ReusedExchange count 0). The checkpoint makes the pass run
+    # once; the explicit hint then re-applies exactly the strategy
+    # decision Catalyst would have made from this estimate (checkpoints
+    # plan as ExistingRDD with unknown stats, which would otherwise
+    # force sort-merge), so the join strategy stays scale-adaptive: big
+    # candidate-doc sets keep the sort-merge shape, small ones keep the
+    # broadcast the planner already chose at every probed SF.
+    sh_est_bytes = int(sh._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    try:
+        bcast_thr = int(
+            docs.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        )
+    except ValueError:  # suffixed forms ("10m"); fall back to Spark's default
+        bcast_thr = 10 * 1024 * 1024
+    sh = sh.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"))
+    if 0 < sh_est_bytes <= bcast_thr:
+        a, b = F.broadcast(a), F.broadcast(b)
     return (
         cands.join(a, on="id_a")
         .join(b, on="id_b")

@@ -46,6 +46,7 @@ def connected_components(
     max_iter: int = 30,
     edges_distinct: bool = False,
     driver_cutover_edges: int = 100_000,
+    broadcast_labels_max_nodes: int = 4_000_000,
 ) -> DataFrame:
     """Return ``(node, component)`` where ``component`` is the minimum
     node id in the node's connected component.
@@ -71,11 +72,40 @@ def connected_components(
     this bound are solved on the driver by union-find instead of the
     distributed loop (see the inline comment); pass 0 to force the
     loop. Both paths produce identical (node, min-id component) rows.
+
+    ``broadcast_labels_max_nodes``: when the node census (one count of
+    the already-materialized label checkpoint) is at or below this
+    bound, the RETURNED frame carries an explicit broadcast hint: the
+    loop's result is a checkpoint that plans as ``Scan ExistingRDD``
+    with UNKNOWN stats, so without the hint every consumer keep-join
+    sort-merges the full corpus against a label table Catalyst cannot
+    see is small — the same unknown-stats pathology
+    ``_driver_union_find`` fixed for the cutover path's consumers
+    (r13 §8). Strategy-only (a hint never changes rows); above the
+    bound consumers keep the sort-merge shape, which is then correct.
+    4M label rows of longs is tens of MB built — far under the 8 GB
+    broadcast cap, with two decades of headroom over the sf10 probe
+    (~485k nodes). Pass 0 to disable. Broadcasting the label tables
+    INSIDE the loop was measured and rejected (r13): per-round
+    broadcasts of a changing table churn driver/executor memory faster
+    than the context cleaner reclaims them — isolated sf3 best-of-5
+    went from a stable 6.9 s median (sort-merge rounds) to 14 s with
+    2-4x run variance.
     """
-    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+    # Materialize the edge list BEFORE the two-orientation union: a
+    # DataFrame is a plan, and both union branches embed it, so an
+    # unmaterialized upstream (the curation pipeline's whole LSH +
+    # verify stage; doc_lang_components' self-join) would execute TWICE
+    # inside the sym checkpoint job (measured r13: CC-phase wall at sf3
+    # dropped from ~22 s inside the pipeline to ~7 s on pre-materialized
+    # edges — the difference was a second full verify pass). Lineage is
+    # cut a second time by the sym checkpoint right after; this one
+    # exists only to dedupe the upstream execution, at the price of one
+    # pass over the (small) edge list.
+    edges = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
         F.col("a") != F.col("b")
-    )
-    sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    ).localCheckpoint(eager=True)
+    sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
     if not edges_distinct:
         sym = sym.distinct()
     sym = sym.localCheckpoint(eager=True)
@@ -117,6 +147,15 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+    # Node census over the materialized checkpoint (one cheap job):
+    # decides whether the RETURNED frame is small enough to hint for
+    # the consumers' keep-joins (see the docstring; in-loop broadcasts
+    # were measured and rejected).
+    broadcast_small = (
+        broadcast_labels_max_nodes > 0
+        and labels.count() <= broadcast_labels_max_nodes
+    )
+
     from pyspark.sql import Observation
 
     for _ in range(max_iter):
@@ -129,6 +168,14 @@ def connected_components(
             .groupBy(sym["b"].alias("node"))
             .agg(F.min("label").alias("nmin"))
         )
+        # stepped is referenced twice below (jump probe + the parent
+        # lookup). A DataFrame is a plan, not a result: without its own
+        # checkpoint the neigh_min subtree — the round's only pass over
+        # the edge set — is EMBEDDED twice in the jump plan and executed
+        # twice (measured r13: the round plan carries 10 Exchanges and
+        # ZERO ReusedExchange with AQE off; Spark does not reuse the
+        # duplicated exchange here). One extra small-table
+        # materialization per round buys back a full edge-set pass.
         stepped = (
             labels.join(neigh_min, "node", "left")
             .select(
@@ -136,6 +183,7 @@ def connected_components(
                 F.col("label").alias("old"),
                 F.least("label", F.coalesce("nmin", "label")).alias("label"),
             )
+            .localCheckpoint(eager=True)
         )
         # (2) pointer jump: label <- label(label). Halves chains.
         parent = stepped.select(
@@ -161,7 +209,12 @@ def connected_components(
         if obs.get["changed"] == 0:
             break
 
-    return labels.select("node", F.col("label").alias("component"))
+    out = labels.select("node", F.col("label").alias("component"))
+    # Same consumer-side rationale as _driver_union_find's hint: the
+    # result is a checkpoint (unknown stats) that every caller joins
+    # against the full corpus — broadcast it when the census says it is
+    # small, keep sort-merge when it is not.
+    return F.broadcast(out) if broadcast_small else out
 
 
 def _driver_union_find(sym: DataFrame) -> DataFrame:
