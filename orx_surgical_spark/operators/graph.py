@@ -383,6 +383,15 @@ def triangle_stats(
     totals come from the exact degree table. All shuffles key on
     vertex ids; no global sort, no cartesian.
     """
+    # This operator runs THREE actions (triangle count, edge count, the
+    # degree aggregate) and its intermediates are each referenced 2-3x
+    # across/within them. Un-materialized, the canonicalize+distinct
+    # pipeline would re-run once per reference (r13, same measured
+    # mechanism as the CC loop): e feeds deg twice + the orientation
+    # join + the edge count; deg feeds both orientation sides + the
+    # wedge total; o feeds both wedge sides + the closing semi-join.
+    # Three eager checkpoints (O(E), O(V), O(E)) make every downstream
+    # reference a block read.
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -390,12 +399,14 @@ def triangle_stats(
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         e.select(F.col("a").alias("n"))
         .unionAll(e.select(F.col("b").alias("n")))
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
     )
     # Orientation rank: lexicographic (deg, id). Carried as columns so
     # comparisons stay in codegen.
@@ -410,7 +421,7 @@ def triangle_stats(
         F.when(lower_is_a, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(lower_is_a, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(lower_is_a, F.col("db")).otherwise(F.col("da")).alias("dv"),
-    )
+    ).localCheckpoint(eager=True)
     # Wedges at u: out-neighbour pairs (v, w) ordered by (deg, id);
     # close each against the oriented edge v->w.
     w1 = o.select(F.col("u"), F.col("v"), F.col("dv"))
@@ -490,10 +501,14 @@ def kcore(
     cascades cannot cross run boundaries) is 2-3 rounds regardless of
     corpus size; the flag reports if a pathological graph needs more.
     """
-    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+    # Materialize before the two-orientation union (same defect and fix
+    # as connected_components, r13): both union branches embed the edge
+    # input, so a plan-valued ``edges`` would execute twice inside the
+    # checkpoint job.
+    base = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
         F.col("a") != F.col("b")
-    )
-    sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    ).localCheckpoint(eager=True)
+    sym = base.union(base.select(F.col("b").alias("a"), F.col("a").alias("b")))
     e = sym.distinct().localCheckpoint(eager=True)
 
     def degrees(ed: DataFrame) -> DataFrame:
@@ -502,7 +517,16 @@ def kcore(
         )
 
     for _ in range(rounds):
-        survivors = degrees(e).where(F.col("deg") >= k).select("node")
+        # survivors is referenced by BOTH semi-joins below; without its
+        # own materialization the degree aggregate — the round's only
+        # pass over the edge set — runs twice per round (r13, same
+        # measured mechanism as the CC loop's stepped table).
+        survivors = (
+            degrees(e)
+            .where(F.col("deg") >= k)
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
         e = (
             e.join(
                 survivors.select(F.col("node").alias("a")), "a", "leftsemi"
@@ -580,10 +604,13 @@ def bfs_layers(
     and per-round state are localCheckpointed so T rounds stay T
     plans.
     """
-    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+    # Materialize before the two-orientation union (same defect and fix
+    # as connected_components, r13): a plan-valued ``edges`` would
+    # otherwise execute twice inside the checkpoint job.
+    base = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
         F.col("a") != F.col("b")
-    )
-    sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    ).localCheckpoint(eager=True)
+    sym = base.union(base.select(F.col("b").alias("a"), F.col("a").alias("b")))
     e = sym.distinct().localCheckpoint(eager=True)
 
     visited = (
