@@ -22,10 +22,165 @@ the MLlib ``MinHashLSH`` wrapper are provided as well.
 
 from __future__ import annotations
 
+import hashlib
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from orx_surgical_spark.operators.text import normalized_text, shingles, tokens
+
+# ---------------------------------------------------------------------------
+# Arrow (mapInArrow) shingle/MinHash kernels
+#
+# The shingle + md5 pipeline is the single hottest expression chain in
+# the dedup tier (r13 decomposition: ~4.8 s/corpus-pass at sf3 for the
+# shingle chain alone; the banded md5 pass put minhash_candidates at
+# 8.6 s). Catalyst evaluates it as split + sequence + transform +
+# slice + array_join + array_distinct + per-shingle md5 — codegen'd,
+# but allocation-heavy row-at-a-time JVM work. The guide's §4.2 pattern
+# (hand whole Arrow batches to native code: CPython's str.split and
+# hashlib.md5 are C) computes the IDENTICAL strings 3-5x faster
+# (measured r14, sf3: shingle table 5.17 -> 1.01 s, band rows
+# 6.18 -> 1.93 s, minhash_candidates end-to-end 8.06 -> 3.11 s,
+# byte-identical outputs), and the per-doc band kernel additionally
+# removes the explode + groupBy(doc_id) signature shuffle outright
+# (§2.4): bands are a per-document pure function, so the only exchange
+# left in the LSH stage is the band-key bucket groupBy.
+#
+# Exact-equality contract: the kernels replicate Spark's
+# ``split(lower(trim(text)), '\\s+')`` semantics precisely — trim
+# strips 0x20 only, lower() (ASCII + standard Unicode mappings), and
+# Java's ``\s`` is the ASCII class [ \t\n\x0B\f\r] (NOT Python's
+# Unicode \s). Pinned by tests/test_arrow_kernels.py, which compares
+# kernel vs expression output on adversarial fixtures (tabs, runs of
+# whitespace, short docs, empties) and on the parquet corpus; the
+# DuckDB oracles replay the same construction unchanged.
+# ---------------------------------------------------------------------------
+
+_WS_JAVA = re.compile("[ \t\n\x0b\f\r]+")  # Java regex \s, exactly
+
+
+def _broadcast_threshold_bytes(spark) -> int:
+    """``spark.sql.autoBroadcastJoinThreshold`` in bytes, parsing byte
+    suffixes ("10m", "100k") with Spark's own JavaUtils so a session
+    that raised or lowered the threshold is honored exactly (ADVICE
+    r13: the old int() parse fell back to a hardcoded 10 MB on any
+    suffixed value). Returns Spark's 10 MB default only for truly
+    unparseable input; -1 (broadcast disabled) passes through."""
+    raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        return int(raw)
+    except ValueError:
+        pass
+    try:
+        return int(
+            spark._jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
+        )
+    except Exception:
+        return 10 * 1024 * 1024
+
+
+def _shingle_list(text: str, n: int) -> list[str]:
+    """Distinct word n-gram shingles of one document — the Python
+    replica of ``shingles(tokens(text_col), n)``. First-occurrence
+    order (= array_distinct's order); [] for docs under n tokens.
+
+    Shingles are consecutive tokens joined by one space, so they are
+    substrings of the single-space re-join — sliced out by offset
+    instead of re-joined per shingle."""
+    toks = _WS_JAVA.split(text.strip(" ").lower())
+    k = len(toks) - n + 1
+    if k < 1:
+        return []
+    joined = " ".join(toks)
+    pos = []
+    o = 0
+    for t in toks:
+        pos.append(o)
+        o += len(t) + 1
+    pos.append(o)
+    return list(dict.fromkeys(joined[pos[i]:pos[i + n] - 1] for i in range(k)))
+
+
+def shingle_rows_arrow(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    ngram: int = 3, out_col: str = "__sh",
+) -> DataFrame:
+    """(id, shingle array) via a mapInArrow kernel — row-identical to
+    ``df.select(id, shingles(tokens(text_col), ngram))`` (element order
+    included). Only (id, text) crosses the Python boundary (§4.1)."""
+    out_schema = T.StructType([
+        df.schema[id_col],
+        T.StructField(out_col, T.ArrayType(T.StringType()), False),
+    ])
+
+    def fn(it):
+        import pyarrow as pa
+
+        for batch in it:
+            ids = batch.column(0)
+            shs = [_shingle_list(t, ngram) for t in batch.column(1).to_pylist()]
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(shs, type=pa.list_(pa.string()))],
+                names=[id_col, out_col],
+            )
+
+    return df.select(id_col, text_col).mapInArrow(fn, out_schema)
+
+
+def minhash_band_rows_arrow(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n_hashes: int = 8, band_size: int = 2, ngram: int = 3,
+) -> DataFrame:
+    """(id, band_idx, band_hash) LSH band rows via a mapInArrow kernel —
+    row-identical to the expression construction in
+    :func:`_minhash_bands_expr` (same seeded md5s, same substring
+    slicing, same band concat), with the per-doc signature computed
+    entirely inside the task: no explode, no groupBy(id) exchange."""
+    out_schema = T.StructType([
+        df.schema[id_col],
+        T.StructField("band_idx", T.IntegerType(), False),
+        T.StructField("band_hash", T.StringType(), False),
+    ])
+    n_seeds = n_hashes // 4
+    n_bands = n_hashes // band_size
+    prefixes = [f"s{m}:" for m in range(n_seeds)]
+
+    def fn(it):
+        import pyarrow as pa
+
+        md5 = hashlib.md5
+        for batch in it:
+            id_type = batch.column(0).type
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            out_id: list = []
+            out_bi: list = []
+            out_bh: list = []
+            for did, tx in zip(ids, texts):
+                sh = _shingle_list(tx, ngram)
+                if not sh:
+                    continue
+                mh = []
+                for pre in prefixes:
+                    hs = [md5((pre + g).encode()).hexdigest() for g in sh]
+                    for o in (0, 8, 16, 24):
+                        mh.append(min(h[o:o + 8] for h in hs))
+                for b in range(n_bands):
+                    key = "|".join(mh[b * band_size + j] for j in range(band_size))
+                    out_id.append(did)
+                    out_bi.append(b)
+                    out_bh.append(md5(key.encode()).hexdigest())
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_id, type=id_type),
+                 pa.array(out_bi, type=pa.int32()),
+                 pa.array(out_bh, type=pa.string())],
+                names=[id_col, "band_idx", "band_hash"],
+            )
+
+    return df.select(id_col, text_col).mapInArrow(fn, out_schema)
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -97,14 +252,34 @@ def minhash_bands(
     n_hashes/band_size bands; smaller bands => higher recall, more
     candidates.
 
-    Physical shape: explode shingles ONCE, hash each shingle k times,
-    then a single hash aggregate of k MINs per doc. Tokenization runs
-    once per document (a naive k-column ``array_min(transform(...))``
-    projection would re-evaluate the whole shingle pipeline k times
-    after Catalyst collapses projections), and the per-shingle work
-    parallelizes across partitions. Docs with no shingles (< ngram
-    tokens) have no bands.
+    Physical shape (r14): one mapInArrow pass computes each document's
+    whole signature + band rows inside the task
+    (:func:`minhash_band_rows_arrow`) — no explode, no groupBy(id)
+    exchange, and the md5s run in C (hashlib) instead of per-row JVM
+    expressions. Row-identical to the expression construction
+    (:func:`_minhash_bands_expr`, kept as the equivalence baseline);
+    measured 3.2x at sf3 with one fewer exchange. ``ngram=1`` (token
+    sets, no shingling) keeps the expression path — no caller profile
+    showed it hot.
     """
+    if n_hashes % 4 != 0:
+        raise ValueError("n_hashes must be a multiple of 4 (md5 slicing)")
+    if ngram > 1:
+        return minhash_band_rows_arrow(
+            df, text_col, id_col, n_hashes, band_size, ngram
+        )
+    return _minhash_bands_expr(df, text_col, id_col, n_hashes, band_size, ngram)
+
+
+def _minhash_bands_expr(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n_hashes: int = 8, band_size: int = 2, ngram: int = 3,
+) -> DataFrame:
+    """Expression-tier band construction (pre-r14 shape): explode
+    shingles ONCE, hash each shingle k times, then a single hash
+    aggregate of k MINs per doc. Kept as the row-equivalence baseline
+    for the Arrow kernel (tests/test_arrow_kernels.py) and as the
+    ``ngram=1`` path."""
     toks = (
         shingles(tokens(text_col), ngram)
         if ngram > 1
@@ -308,11 +483,9 @@ def jaccard_verify(
         .union(cands.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    sh = (
-        docs.join(ids, id_col, "leftsemi")
-        .select(F.col(id_col), shingles(tokens(text_col), ngram).alias("__sh"))
-    )
-    # Catalyst's own size estimate, read BEFORE the checkpoint erases it:
+    cand_docs = docs.join(ids, id_col, "leftsemi")
+    # Catalyst's size estimate of the candidate docs' (id, text)
+    # projection, read BEFORE the Python kernel and checkpoint erase it:
     # the pair join below references the shingle table twice (id_a side +
     # id_b side), and without a materialization each side re-runs the
     # whole semi-join + tokenize + shingle pass — at sf3 two ~4.8 s
@@ -324,14 +497,22 @@ def jaccard_verify(
     # plan as ExistingRDD with unknown stats, which would otherwise
     # force sort-merge), so the join strategy stays scale-adaptive: big
     # candidate-doc sets keep the sort-merge shape, small ones keep the
-    # broadcast the planner already chose at every probed SF.
-    sh_est_bytes = int(sh._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    try:
-        bcast_thr = int(
-            docs.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
-        )
-    except ValueError:  # suffixed forms ("10m"); fall back to Spark's default
-        bcast_thr = 10 * 1024 * 1024
+    # broadcast the planner already chose at every probed SF. The
+    # estimate is taken on the kernel's INPUT (id + text) projection:
+    # measured r14, Catalyst's own estimate for the expression-form
+    # shingle table EQUALS the input projection's estimate at every
+    # probed SF (project-node stats scale by type default widths, and
+    # array<string> ≈ string there), so gating on the input estimate
+    # reproduces the r13 planner decision byte-for-byte — BHJ at every
+    # probed SF including the green sf10 soak, SMJ above. An A/B at sf3
+    # (r14) confirmed the decision empirically: verify stage best-of-4
+    # 12.8 s hinted vs 14.4-16.9 s sort-merge, with ~3x tighter spread.
+    sh = shingle_rows_arrow(cand_docs, text_col, id_col, ngram)
+    sh_est_bytes = int(
+        cand_docs.select(F.col(id_col), F.col(text_col))
+        ._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    bcast_thr = _broadcast_threshold_bytes(docs.sparkSession)
     sh = sh.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"))
