@@ -106,28 +106,35 @@ def _shingle_list(text: str, n: int) -> list[str]:
 
 def shingle_rows_arrow(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    ngram: int = 3, out_col: str = "__sh",
+    ngram: int = 3, out_col: str = "__sh", extra_cols: tuple = (),
 ) -> DataFrame:
-    """(id, shingle array) via a mapInArrow kernel — row-identical to
-    ``df.select(id, shingles(tokens(text_col), ngram))`` (element order
-    included). Only (id, text) crosses the Python boundary (§4.1)."""
-    out_schema = T.StructType([
-        df.schema[id_col],
-        T.StructField(out_col, T.ArrayType(T.StringType()), False),
-    ])
+    """(id, [extra_cols,] shingle array) via a mapInArrow kernel —
+    row-identical to ``df.select(id, *extra, shingles(tokens(text_col),
+    ngram))`` (element order included). Only (id, extras, text) crosses
+    the Python boundary (§4.1); ``extra_cols`` pass through untouched."""
+    extras = list(extra_cols)
+    out_schema = T.StructType(
+        [df.schema[id_col]]
+        + [df.schema[c] for c in extras]
+        + [T.StructField(out_col, T.ArrayType(T.StringType()), False)]
+    )
+    n_keep = 1 + len(extras)
 
     def fn(it):
         import pyarrow as pa
 
         for batch in it:
-            ids = batch.column(0)
-            shs = [_shingle_list(t, ngram) for t in batch.column(1).to_pylist()]
+            shs = [
+                _shingle_list(t, ngram)
+                for t in batch.column(n_keep).to_pylist()
+            ]
             yield pa.RecordBatch.from_arrays(
-                [ids, pa.array(shs, type=pa.list_(pa.string()))],
-                names=[id_col, out_col],
+                [batch.column(i) for i in range(n_keep)]
+                + [pa.array(shs, type=pa.list_(pa.string()))],
+                names=[id_col] + extras + [out_col],
             )
 
-    return df.select(id_col, text_col).mapInArrow(fn, out_schema)
+    return df.select(id_col, *extras, text_col).mapInArrow(fn, out_schema)
 
 
 def minhash_band_rows_arrow(
@@ -181,6 +188,63 @@ def minhash_band_rows_arrow(
             )
 
     return df.select(id_col, text_col).mapInArrow(fn, out_schema)
+
+
+def gram_rows_arrow(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    k: int = 20, stride: int = 1,
+) -> DataFrame:
+    """(id, p, gh) stride-``stride`` k-gram window rows — the Python
+    replica of :func:`exact_substring_coverage`'s window stream
+    (``explode(sequence(0, n-k, stride))`` + md5 of the space-joined
+    k-token slice). One md5 per window in C instead of a JVM
+    slice+join+md5 per exploded row; this stream is ~1 row per corpus
+    token at stride 1 and was the sf10 soak's single largest line item
+    (2155 s in r11's audit)."""
+    out_schema = T.StructType([
+        df.schema[id_col],
+        T.StructField("p", T.IntegerType(), False),
+        T.StructField("gh", T.StringType(), False),
+    ])
+
+    def fn(it):
+        import pyarrow as pa
+
+        md5 = hashlib.md5
+        for batch in it:
+            id_type = batch.column(0).type
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            out_id: list = []
+            out_p: list = []
+            out_gh: list = []
+            for did, tx in zip(ids, texts):
+                toks = _WS_JAVA.split(tx.strip(" ").lower())
+                n = len(toks)
+                if n < k:
+                    continue
+                joined = " ".join(toks)
+                pos = []
+                o = 0
+                for t in toks:
+                    pos.append(o)
+                    o += len(t) + 1
+                pos.append(o)
+                for p in range(0, n - k + 1, stride):
+                    out_id.append(did)
+                    out_p.append(p)
+                    out_gh.append(
+                        md5(joined[pos[p]:pos[p + k] - 1].encode()).hexdigest()
+                    )
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_id, type=id_type),
+                 pa.array(out_p, type=pa.int32()),
+                 pa.array(out_gh, type=pa.string())],
+                names=[id_col, "p", "gh"],
+            )
+
+    return df.select(id_col, text_col).mapInArrow(fn, out_schema)
+
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -603,9 +667,11 @@ def ngram_jaccard_pairs_prefix(
     are the norm for web corpora.
     """
     blk = [F.col(block_col)] if block_col else []
-    sh0 = df.select(
-        F.col(id_col), *blk,
-        F.array_distinct(shingles(tokens(text_col), n)).alias("sh"),
+    # r14: shingle sets from the Arrow kernel (kernel output is already
+    # distinct, so the old array_distinct wrapper is implied)
+    sh0 = shingle_rows_arrow(
+        df, text_col, id_col, n, out_col="sh",
+        extra_cols=tuple([block_col] if block_col else []),
     ).filter(F.size("sh") > 0)
 
     # Group identity: block + exact shingle set. \x01/\x02 cannot occur
@@ -722,10 +788,53 @@ def simhash16(
 
     bit b of a token = bit (b % 4) of the hex nibble at position b // 4
     of its md5; the document bit is the sign of the sum of (2*bit - 1)
-    over tokens. Computed as explode -> 16 conditional sums -> repack:
-    one shuffle on the id, all expressions codegen'd, and the same
-    formula is expressible in ANSI SQL for the oracle.
+    over tokens. Computed per document inside an Arrow kernel (r14) —
+    no explode, no groupBy(id) shuffle, md5 in C — row-identical to the
+    expression construction (:func:`_simhash16_expr`, the equivalence
+    baseline tests compare against); the same formula stays expressible
+    in ANSI SQL for the oracle.
     """
+    out_schema = T.StructType([
+        df.schema[id_col],
+        T.StructField("simhash", T.IntegerType(), False),
+    ])
+
+    def fn(it):
+        import pyarrow as pa
+
+        md5 = hashlib.md5
+        for batch in it:
+            id_type = batch.column(0).type
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            out = []
+            for tx in texts:
+                # NOTE: split of "" is [""] — the empty string IS a
+                # token row in the expression form, so no doc is skipped
+                toks = set(_WS_JAVA.split(tx.strip(" ").lower()))
+                sums = [0] * 16
+                for t in toks:
+                    # first 4 hex nibbles of the md5 carry the 16 bits:
+                    # bit b = bit (b % 4) of nibble b // 4
+                    n0 = int(md5(t.encode()).hexdigest()[:4], 16)
+                    for b in range(16):
+                        bit = (n0 >> (12 - 4 * (b >> 2) + (b & 3))) & 1
+                        sums[b] += 2 * bit - 1
+                out.append(sum(1 << b for b in range(16) if sums[b] >= 0))
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), pa.array(out, type=pa.int32())],
+                names=[id_col, "simhash"],
+            )
+
+    return df.select(id_col, text_col).mapInArrow(fn, out_schema)
+
+
+def _simhash16_expr(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Expression-tier SimHash (pre-r14 shape): explode -> 16
+    conditional sums -> repack, one shuffle on the id. Kept as the
+    row-equivalence baseline for the Arrow kernel."""
     tok = df.select(
         F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
     )
@@ -996,16 +1105,12 @@ def exact_substring_coverage(
     t = df.select(F.col(id_col), tokens(text_col).alias("toks")).withColumn(
         "n", F.size("toks")
     )
-    starts = F.when(
-        F.col("n") >= k, F.sequence(F.lit(0), F.col("n") - k, F.lit(stride))
-    ).otherwise(F.array().cast("array<int>"))
-    grams = t.select(
-        id_col, F.explode(starts).alias("p"), "toks"
-    ).select(
-        id_col,
-        F.col("p").cast("int").alias("p"),
-        F.md5(F.array_join(F.slice("toks", F.col("p") + 1, k), " ")).alias("gh"),
-    )
+    # r14: the window stream comes from the Arrow gram kernel — same
+    # (id, p, md5) rows as the old explode(sequence) + slice + join +
+    # md5 expression chain (pinned by tests/test_arrow_kernels.py),
+    # with the per-window md5 in C. `t` stays the n_tokens source for
+    # the final left join (it covers docs below k tokens too).
+    grams = gram_rows_arrow(df, text_col, id_col, k, stride)
     dup = (
         grams.groupBy("gh")
         .agg(F.countDistinct(id_col).alias("__nd"))

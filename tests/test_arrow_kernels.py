@@ -89,6 +89,56 @@ def test_band_kernel_ngram1_falls_back_to_expression(spark, adv_docs):
     assert "MapInArrow" not in plan
 
 
+def test_gram_kernel_matches_expression_adversarial(spark, adv_docs):
+    old = _gram_rows_expr(adv_docs, k=4, stride=1)
+    new = D.gram_rows_arrow(adv_docs, k=4, stride=1)
+    assert _collect_sorted(new) == _collect_sorted(old)
+
+
+@pytest.mark.parametrize("stride", [1, 3])
+def test_gram_kernel_matches_expression_on_corpus(spark, stride):
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    old = _gram_rows_expr(docs, k=20, stride=stride)
+    new = D.gram_rows_arrow(docs, k=20, stride=stride)
+    assert _collect_sorted(new) == _collect_sorted(old)
+
+
+def _gram_rows_expr(df, k, stride, text_col="text", id_col="doc_id"):
+    # the pre-r14 expression window stream, verbatim
+    t = df.select(F.col(id_col), tokens(text_col).alias("toks")).withColumn(
+        "n", F.size("toks")
+    )
+    starts = F.when(
+        F.col("n") >= k, F.sequence(F.lit(0), F.col("n") - k, F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+    return t.select(id_col, F.explode(starts).alias("p"), "toks").select(
+        id_col,
+        F.col("p").cast("int").alias("p"),
+        F.md5(F.array_join(F.slice("toks", F.col("p") + 1, k), " ")).alias("gh"),
+    )
+
+
+def test_simhash_kernel_matches_expression(spark, adv_docs):
+    old = D._simhash16_expr(adv_docs)
+    new = D.simhash16(adv_docs)
+    assert _collect_sorted(new) == _collect_sorted(old)
+    assert old.schema == new.schema
+
+
+def test_simhash_kernel_matches_expression_on_corpus(spark):
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    assert _collect_sorted(D.simhash16(docs)) == _collect_sorted(
+        D._simhash16_expr(docs)
+    )
+
+
+def test_prefix_pairs_rows_unchanged_by_kernel(spark):
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).limit(120)
+    got = D.ngram_jaccard_pairs_prefix(docs, threshold=0.5, block_col="lang")
+    want = D.ngram_jaccard_pairs(docs, threshold=0.5, block_col="lang")
+    assert _collect_sorted(got) == _collect_sorted(want)
+
+
 def test_jaccard_verify_rows_unchanged_by_kernel(spark):
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
     cands = D.lsh_candidate_pairs(docs)
