@@ -83,10 +83,18 @@ def connected_components(
     ``_driver_union_find`` fixed for the cutover path's consumers
     (r13 §8). Strategy-only (a hint never changes rows); above the
     bound consumers keep the sort-merge shape, which is then correct.
-    4M label rows of longs is tens of MB built — far under the 8 GB
-    broadcast cap, with two decades of headroom over the sf10 probe
-    (~485k nodes). Pass 0 to disable. Broadcasting the label tables
-    INSIDE the loop was measured and rejected (r13): per-round
+
+    The knob is a hard CEILING, not the bound itself (ADVICE r13: a
+    fixed 4M-row hint bypassed ``autoBroadcastJoinThreshold`` entirely,
+    and a 4M-row built hash relation is ~100-200 MB per executor, not
+    the docstring's optimistic "tens of MB"). The effective bound is
+    ``min(ceiling, session autoBroadcastJoinThreshold /
+    _BROADCAST_BYTES_PER_LABEL_ROW)`` — i.e. the hint only re-applies
+    the decision the session's own threshold implies for a relation
+    whose size Catalyst cannot estimate (a checkpoint). With the
+    repo session's 64 MB threshold that is ~1M nodes; on a vanilla
+    10 MB session ~160k. Pass 0 to disable. Broadcasting the label
+    tables INSIDE the loop was measured and rejected (r13): per-round
     broadcasts of a changing table churn driver/executor memory faster
     than the context cleaner reclaims them — isolated sf3 best-of-5
     went from a stable 6.9 s median (sort-merge rounds) to 14 s with
@@ -150,10 +158,12 @@ def connected_components(
     # Node census over the materialized checkpoint (one cheap job):
     # decides whether the RETURNED frame is small enough to hint for
     # the consumers' keep-joins (see the docstring; in-loop broadcasts
-    # were measured and rejected).
-    broadcast_small = (
-        broadcast_labels_max_nodes > 0
-        and labels.count() <= broadcast_labels_max_nodes
+    # were measured and rejected). The effective bound derives from the
+    # session's own broadcast threshold so the hint never forces a
+    # build the session's config would refuse on a known-size relation.
+    broadcast_small = broadcast_labels_max_nodes > 0 and labels.count() <= min(
+        broadcast_labels_max_nodes,
+        _broadcast_label_rows_bound(edges.sparkSession),
     )
 
     from pyspark.sql import Observation
@@ -215,6 +225,27 @@ def connected_components(
     # against the full corpus — broadcast it when the census says it is
     # small, keep sort-merge when it is not.
     return F.broadcast(out) if broadcast_small else out
+
+
+#: Built-hash-relation bytes per (node, label) long pair — UnsafeRow +
+#: LongHashedRelation map overhead dominates the 16 B payload. The
+#: measured datum (tests/test_graph.py::test_label_broadcast_bytes_per_row,
+#: BroadcastExchange dataSize at the sf10 census scale of 485k rows)
+#: is 42.6 B/row serialized (20.66 MB total); 64 keeps a ~1.5x margin
+#: for the in-memory hash map on top of the serialized form.
+_BROADCAST_BYTES_PER_LABEL_ROW = 64
+
+
+def _broadcast_label_rows_bound(spark) -> int:
+    """Max label rows the session's ``autoBroadcastJoinThreshold``
+    implies for a (node, label) relation (ADVICE r13: derive the hint
+    bound from the threshold instead of a fixed row count)."""
+    from orx_surgical_spark.operators.dedup import _broadcast_threshold_bytes
+
+    thr = _broadcast_threshold_bytes(spark)
+    if thr <= 0:  # broadcast disabled in this session
+        return 0
+    return thr // _BROADCAST_BYTES_PER_LABEL_ROW
 
 
 def _driver_union_find(sym: DataFrame) -> DataFrame:

@@ -1,5 +1,13 @@
 """Stage-level plan evidence for the r13 curation-pipeline changes.
 
+FRAGILITY NOTE (ADVICE r13): the before/after replay below detects the
+loop's shape by string-matching ``inspect.getsource`` of
+``connected_components`` (splitting on ``"sym ="`` and the
+``"# (2) pointer jump"`` comment). It was written against the r13
+shas (``8959601`` before, ``20fc8f6`` after); if the loop body is
+reworded the replay silently dumps the wrong shape — treat this as a
+one-round evidence script and re-pin the markers before reusing it.
+
 The committed ``plans/r13/corpus_curation_summary_*.txt`` files show
 only the query's FINAL plan (keep-join + aggregate): the LSH, verify
 and CC stages execute at build time behind eager localCheckpoints, so

@@ -240,3 +240,69 @@ def test_bfs_exact_fixpoint_budget_probes_exhaustion(spark):
     rows = _bfs(spark, [(0, 1), (1, 2)], [0], rounds=2)
     assert {r.node: r.dist for r in rows} == {0: 0, 1: 1, 2: 2}
     assert all(r.frontier_exhausted for r in rows)
+
+
+def _walk_executed_plan(node, depth=0, out=None):
+    """Flatten an executed SparkPlan tree (AQE stages included) via py4j."""
+    if out is None:
+        out = []
+    name = node.nodeName()
+    out.append((name, node))
+    ch = node.children()
+    for i in range(ch.size()):
+        _walk_executed_plan(ch.apply(i), depth + 1, out)
+    if "AdaptiveSparkPlan" in name:
+        _walk_executed_plan(node.executedPlan(), depth + 1, out)
+    elif "QueryStage" in name:
+        _walk_executed_plan(node.plan(), depth + 1, out)
+    return out
+
+
+def test_label_broadcast_bytes_per_row(spark):
+    """Evidence datum for graph._BROADCAST_BYTES_PER_LABEL_ROW (VERDICT
+    r13 item 8): at the sf10 census scale (~485k label rows) the built
+    BroadcastExchange's dataSize metric must stay within the 64 B/row
+    budget the threshold-derived hint bound assumes. Measured r14:
+    20,657,216 bytes for 485,000 rows = 42.6 B/row serialized."""
+    from pyspark.sql import functions as F
+
+    n = 485_000
+    labels = spark.range(0, n).select(
+        F.col("id").alias("node"), F.col("id").alias("component")
+    )
+    corpus = spark.range(0, 2 * n).select(F.col("id").alias("doc_id"))
+    j = corpus.join(F.broadcast(labels), corpus["doc_id"] == labels["node"], "left")
+    qe = j._jdf.queryExecution()
+    qe.toRdd().count()  # execute THIS QueryExecution so metrics populate
+    sizes = []
+    for name, node in _walk_executed_plan(qe.executedPlan()):
+        if "BroadcastExchange" in name:
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() == "dataSize":
+                    sizes.append(int(kv._2().value()))
+    assert sizes, "no BroadcastExchange found in the executed plan"
+    bytes_per_row = max(sizes) / n
+    assert bytes_per_row <= 64, (
+        f"label broadcast measured {bytes_per_row:.1f} B/row; "
+        "_BROADCAST_BYTES_PER_LABEL_ROW's budget is stale"
+    )
+
+
+def test_label_broadcast_bound_derives_from_threshold(spark):
+    """The CC result hint must honor the session's broadcast threshold
+    (ADVICE r13): bound rows = threshold / 64, zero when broadcast is
+    disabled."""
+    from orx_surgical_spark.operators.graph import _broadcast_label_rows_bound
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 << 20))
+        assert _broadcast_label_rows_bound(spark) == (64 << 20) // 64
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10m")
+        assert _broadcast_label_rows_bound(spark) == (10 << 20) // 64
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        assert _broadcast_label_rows_bound(spark) == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
