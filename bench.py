@@ -304,16 +304,30 @@ def main() -> None:
     # can never silently pose as steady-state evidence — the bench-side
     # mirror of soak.py's red-artifact guard.
     spread_threshold = float(os.environ.get("SPARK_GRAFT_MAX_SPREAD_PCT", "15"))
+    # r14 (VERDICT r13 item 5): the single retry lap became a stitching
+    # loop — a lap is quiet when EVERY query's accepted measurement met
+    # the gate, not when one 13-query pass got lucky, so each remaining
+    # offender gets up to SPARK_GRAFT_RETRY_ROUNDS consecutive re-laps
+    # and the cleanest accepted lap per query is what the artifact
+    # reports. The timed region per lap, the interleaved first lap, and
+    # the accept-iff-cleaner rule are unchanged; the loop only repeats
+    # the pre-existing retry mechanics until quiet or out of rounds.
+    retry_rounds = int(os.environ.get("SPARK_GRAFT_RETRY_ROUNDS", "3"))
     retried: list[str] = []
     retry_errors: dict[str, str] = {}
-    offenders = [
-        n
-        for n, ts in all_times.items()
-        if ts and n not in failures and lap_stats(ts)[1] * 100 > spread_threshold
-    ]
-    if offenders:
+    rounds_used = 0
+    for _round in range(retry_rounds):
+        offenders = [
+            n
+            for n, ts in all_times.items()
+            if ts and n not in failures and lap_stats(ts)[1] * 100 > spread_threshold
+        ]
+        if not offenders:
+            break
+        rounds_used += 1
         print(
-            f"# spread > {spread_threshold:.0f}% on {offenders}; one quiet retry lap",
+            f"# spread > {spread_threshold:.0f}% on {offenders}; quiet retry "
+            f"lap {rounds_used}/{retry_rounds}",
             file=sys.stderr,
         )
         wait_for_quiet_box(max_load, wait_budget)
@@ -342,7 +356,8 @@ def main() -> None:
         for name, ts in retry.items():
             if not ts or name in failures or name in retry_errors:
                 continue
-            retried.append(name)
+            if name not in retried:
+                retried.append(name)
             if lap_stats(ts)[1] <= lap_stats(all_times[name])[1]:
                 all_times[name] = ts
 
@@ -451,6 +466,8 @@ def main() -> None:
                 # how retried queries were re-timed (see retry-lap
                 # comment): consecutive per-query steady-state runs
                 "retry_mode": "consecutive",
+                "retry_rounds_used": rounds_used,
+                "retry_rounds_max": retry_rounds,
                 "worst_run_pct": {n: round(w * 100, 1) for n, w in worst.items()},
                 "loadavg_1m": round(load_at_start, 2),
                 "loadavg_after": round(os.getloadavg()[0], 2),
