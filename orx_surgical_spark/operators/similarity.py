@@ -1505,6 +1505,7 @@ def pq_train_codebooks(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    driver_cutover_rows: int = 200_000,
 ) -> list[list[list[int]]]:
     """Train PQ codebooks: Lloyd k-means per subspace of the
     L2-normalized vectors, with the clustering module's determinism
@@ -1528,6 +1529,17 @@ def pq_train_codebooks(
     ``models.fit_sample`` pattern — PQ codebooks, like any quantizer,
     are estimated, not aggregated), while ENCODE and SERVE below
     stream the full corpus map-only.
+
+    r14 driver cutover (same precedent as clustering.lloyd_centroids):
+    at or below ``driver_cutover_rows`` the fused iteration runs on the
+    driver in numpy int64 — the distributed fit's per-iteration cost at
+    small n is Catalyst compiling the n_subspaces x n_centroids x
+    (sub+1) aggregate tree (~1150 expressions at the 8x16 default;
+    measured 37 s for 500 vectors, ~7 s/job of pure planning+codegen),
+    not the data. Identical arithmetic (exact int distances, argmin =
+    lowest code on ties, the same ``half_up`` update, emptied clusters
+    carry over), pinned by a loop ≡ cutover test. Pass 0 to force the
+    distributed fit.
     """
     import math
     import operator as _op
@@ -1552,6 +1564,47 @@ def pq_train_codebooks(
             lambda x: F.round(x * F.lit(float(MICRO))).cast("bigint"),
         ).alias("xm"),
     ).localCheckpoint(eager=False)
+    if (
+        0 < driver_cutover_rows
+        and xm_df.limit(driver_cutover_rows + 1).count() <= driver_cutover_rows
+    ):
+        import numpy as np
+
+        rows = xm_df.collect()
+        if len(rows) < n_centroids:
+            raise ValueError(
+                f"pq_train_codebooks: need at least n_centroids="
+                f"{n_centroids} vectors, got {len(rows)}"
+            )
+        ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+        X = np.array([r["xm"] for r in rows], dtype=np.int64)
+
+        def hup(x: float) -> int:
+            return (
+                int(math.floor(x + 0.5))
+                if x >= 0
+                else -int(math.floor(-x + 0.5))
+            )
+
+        order = np.argsort(ids, kind="stable")[:n_centroids]
+        out = []
+        for m in range(n_subspaces):
+            Xm = X[:, m * sub:(m + 1) * sub]
+            C = Xm[order].copy()
+            for _ in range(iters):
+                d = Xm[:, None, :] - C[None, :, :]
+                np.square(d, out=d)
+                assign = d.sum(axis=2).argmin(axis=1)  # ties -> lowest code
+                counts = np.bincount(assign, minlength=n_centroids)
+                sums = np.zeros((n_centroids, sub), dtype=np.int64)
+                np.add.at(sums, assign, Xm)
+                for j in range(n_centroids):
+                    if counts[j]:  # emptied cluster keeps its centroid
+                        C[j] = [
+                            hup(float(s) / float(counts[j])) for s in sums[j]
+                        ]
+            out.append([[int(v) for v in c] for c in C])
+        return out
     init_rows = xm_df.orderBy("vec_id").limit(n_centroids).collect()
     if len(init_rows) < n_centroids:
         raise ValueError(
